@@ -1,0 +1,550 @@
+"""Libra decoder: LLaMA backbone with a decoupled (routed) vision system.
+
+TPU-native re-design of the reference decoder (modeling_libra.py:245-1188):
+
+* modality routing is dense masked dual-path compute (see ops/routed.py),
+  not gather/scatter -- static shapes, MXU-friendly;
+* the K/V bridge is a cross-modality mask in attention (see ops/attention.py),
+  not tensor cloning;
+* layers are stacked and driven by `lax.scan` (one compiled layer body),
+  with optional `jax.checkpoint` rematerialisation for training;
+* the KV cache is a preallocated static-shape ring of (K, Kb, V, Vb, flag)
+  written with dynamic_update_slice -- the bridged-cache tuple of the
+  reference (modeling_libra.py:344-361) without dynamic shapes.
+
+Parameters are plain pytrees (dicts of arrays); weights are stored in
+x @ W orientation (in_features first). See libra_tpu/checkpoint.py for the
+PyTorch-name mapping used when importing reference weights.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from libra_tpu.config import LibraConfig
+from libra_tpu.ops.attention import (AttentionInputs, BIG_NEG, bridged_attention,
+                                     causal_bias)
+from libra_tpu.ops.norm import rms_norm
+from libra_tpu.ops.rope import apply_rope, apply_rope_2d, rope_cos_sin
+from libra_tpu.ops.routed import (low_rank_linear, routed_linear,
+                                  routed_low_rank, select_by_flag)
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initialisation
+# ---------------------------------------------------------------------------
+
+def _normal(key, shape, std, dtype):
+    return std * jax.random.normal(key, shape, dtype=jnp.float32).astype(dtype)
+
+
+def _init_low_rank(key, d_in, d_bottleneck, d_out, std, dtype, zero_b: bool):
+    ka, kb = jax.random.split(key)
+    wa = _normal(ka, (d_in, d_bottleneck), std, dtype)
+    wb = (jnp.zeros((d_bottleneck, d_out), dtype)
+          if zero_b else _normal(kb, (d_bottleneck, d_out), std, dtype))
+    return {"wa": wa, "wb": wb}
+
+
+def init_layer_params(key, cfg: LibraConfig) -> Params:
+    D, I = cfg.hidden_size, cfg.intermediate_size
+    Db = D // cfg.vision_down_ratio
+    Ib = I // cfg.vision_down_ratio
+    r = cfg.bridge_rank
+    std = cfg.initializer_range
+    pd = cfg.params_dtype
+    zero_b = cfg.addition_mode  # reference: modeling_libra.py:502-509
+    keys = iter(jax.random.split(key, 24))
+    nk = lambda: next(keys)
+
+    attn = {
+        "q_proj": _normal(nk(), (D, D), std, pd),
+        "k_proj": _normal(nk(), (D, D), std, pd),
+        "v_proj": _normal(nk(), (D, D), std, pd),
+        "o_proj": _normal(nk(), (D, D), std, pd),
+        "vision_q": _init_low_rank(nk(), D, Db, D, std, pd, zero_b),
+        "vision_k": _init_low_rank(nk(), D, Db, D, std, pd, zero_b),
+        "vision_v": _init_low_rank(nk(), D, Db, D, std, pd, zero_b),
+        "vision_o": _init_low_rank(nk(), D, Db, D, std, pd, zero_b),
+    }
+    if cfg.use_bridge:
+        # bridge B-weights init to zero (rank mode, modeling_libra.py:183-184)
+        attn.update({
+            "k_bridge_lang": _init_low_rank(nk(), D, r, D, std, pd, True),
+            "k_bridge_vis": _init_low_rank(nk(), D, r, D, std, pd, True),
+            "v_bridge_lang": _init_low_rank(nk(), D, r, D, std, pd, True),
+            "v_bridge_vis": _init_low_rank(nk(), D, r, D, std, pd, True),
+        })
+    mlp = {
+        "gate_proj": _normal(nk(), (D, I), std, pd),
+        "up_proj": _normal(nk(), (D, I), std, pd),
+        "down_proj": _normal(nk(), (I, D), std, pd),
+        "vision_gate": _init_low_rank(nk(), D, Ib, I, std, pd, zero_b),
+        "vision_up": _init_low_rank(nk(), D, Ib, I, std, pd, zero_b),
+        "vision_down": _init_low_rank(nk(), I, Db, D, std, pd, zero_b),
+    }
+    ones = lambda: jnp.ones((D,), pd)
+    return {
+        "attn": attn,
+        "mlp": mlp,
+        "input_layernorm": ones(),
+        "post_attention_layernorm": ones(),
+        "vision_input_layernorm": ones(),
+        "vision_post_attention_layernorm": ones(),
+    }
+
+
+def init_params(key, cfg: LibraConfig) -> Params:
+    """Random-init full parameter pytree (layer params stacked on axis 0)."""
+    D, V = cfg.hidden_size, cfg.vocab_size
+    Q, Vv = cfg.vision_codebook_num, cfg.vision_vocab_size
+    S = cfg.contiguous_signal_size
+    std = cfg.initializer_range
+    pd = cfg.params_dtype
+    keys = iter(jax.random.split(key, 12))
+    nk = lambda: next(keys)
+
+    layer_keys = jax.random.split(nk(), cfg.num_hidden_layers)
+    layers = jax.vmap(lambda k: init_layer_params(k, cfg))(layer_keys)
+
+    head_in = D * 2 if cfg.vision_prediction_mode == "2d" else D
+    params: Params = {
+        "embed_tokens": _normal(nk(), (V, D), std, pd),
+        "vision_embed_tokens": _normal(nk(), (Q, Vv, D // Q), std, pd),
+        "layers": layers,
+        "norm": jnp.ones((D,), pd),
+        "vision_norm": jnp.ones((D,), pd),
+        "lm_head": _normal(nk(), (D, V), std, pd),
+        "vision_lm_head": _normal(nk(), (Q, head_in, Vv), std, pd),
+    }
+    if cfg.concat_signals:
+        params["signal_proj"] = _normal(nk(), (S + D, D), std, pd)
+        if cfg.norm_signals:
+            params["signal_norm"] = jnp.ones((S + D,), pd)
+    else:
+        params["signal_proj"] = _normal(nk(), (S, D), std, pd)
+    if cfg.use_vision_position_embedding:
+        params["vision_position_embedding"] = _normal(
+            nk(), (cfg.max_vision_token_length, D), std, pd)
+    if cfg.vision_prediction_mode == "2d":
+        params["vision_hidden_placeholder"] = _normal(nk(), (D,), std, pd)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+class KVCache(NamedTuple):
+    """Static-shape bridged KV cache.
+
+    k/kb/v/vb: (num_layers, B, max_len, H, head_dim); kb/vb absent (None)
+    when use_bridge=False. flag: (B, max_len) vision flags of cached tokens.
+    index: scalar int32 -- number of tokens already written.
+    """
+    k: jax.Array
+    v: jax.Array
+    kb: Optional[jax.Array]
+    vb: Optional[jax.Array]
+    flag: jax.Array
+    index: jax.Array
+
+
+def init_cache(cfg: LibraConfig, batch: int, max_len: int,
+               dtype=None) -> KVCache:
+    dtype = dtype or cfg.compute_dtype
+    L, H, d = cfg.num_hidden_layers, cfg.num_attention_heads, cfg.head_dim
+    z = lambda: jnp.zeros((L, batch, max_len, H, d), dtype)
+    return KVCache(
+        k=z(), v=z(),
+        kb=z() if cfg.use_bridge else None,
+        vb=z() if cfg.use_bridge else None,
+        flag=jnp.zeros((batch, max_len), jnp.bool_),
+        index=jnp.zeros((), jnp.int32),
+    )
+
+
+def _write_cache(buf: jax.Array, new: jax.Array, index) -> jax.Array:
+    """buf: (B, S, H, d); new: (B, N, H, d); write at [:, index:index+N]."""
+    return jax.lax.dynamic_update_slice(buf, new.astype(buf.dtype),
+                                        (0, index, 0, 0))
+
+
+# ---------------------------------------------------------------------------
+# Embeddings
+# ---------------------------------------------------------------------------
+
+def embed_inputs(params: Params, cfg: LibraConfig, input_ids: jax.Array,
+                 vision_flag: jax.Array,
+                 contiguous_signal: Optional[jax.Array],
+                 vision_indices: Optional[jax.Array]) -> jax.Array:
+    """Multi-codebook embedding + continuous-signal fusion.
+
+    Reference: get_inputs_embeds_from_multicodebook (modeling_libra.py:625-661)
+    plus the id-offset strip at 746-751. input_ids: (Q, B, N) raw combined-vocab
+    ids (vision ids carry the +vocab_size offset).
+    """
+    V, Vv = cfg.vocab_size, cfg.vision_vocab_size
+    cd = cfg.compute_dtype
+
+    text_ids = jnp.clip(input_ids[0], 0, V - 1)
+    text_emb = params["embed_tokens"][text_ids].astype(cd)           # (B,N,D)
+
+    vis_ids = jnp.clip(input_ids - V, 0, Vv - 1)                     # (Q,B,N)
+    # per-codebook embed, concat on features (modeling_libra.py:629-634)
+    vis_emb = jnp.concatenate(
+        [params["vision_embed_tokens"][q][vis_ids[q]].astype(cd)
+         for q in range(cfg.vision_codebook_num)], axis=-1)          # (B,N,D)
+
+    if cfg.use_vision_position_embedding:
+        vpe = params["vision_position_embedding"][
+            jnp.clip(vision_indices, 0, cfg.max_vision_token_length - 1)]
+        vis_emb = vis_emb + vpe.astype(cd)
+
+    if cfg.concat_signals:
+        B, N = text_ids.shape
+        if contiguous_signal is None:
+            sig = jnp.zeros((B, N, cfg.contiguous_signal_size), cd)
+        else:
+            sig = contiguous_signal.astype(cd)
+        cat = jnp.concatenate([vis_emb, sig], axis=-1)
+        if cfg.norm_signals:
+            cat = rms_norm(cat, params["signal_norm"], cfg.rms_norm_eps)
+        vis_emb = jnp.einsum("bns,sd->bnd", cat,
+                             params["signal_proj"].astype(cd))
+
+    h = select_by_flag(vision_flag, vis_emb, text_emb)
+
+    if (not cfg.concat_signals) and contiguous_signal is not None:
+        # additive mode applies to ALL positions (modeling_libra.py:753-754)
+        h = h + jnp.einsum("bns,sd->bnd", contiguous_signal.astype(cd),
+                           params["signal_proj"].astype(cd))
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Position ids
+# ---------------------------------------------------------------------------
+
+def position_ids_from_mask(attention_mask: jax.Array) -> jax.Array:
+    """cumsum(mask)-1 with pad positions set to 1
+    (reference: modeling_libra.py:1203-1205)."""
+    pos = jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1
+    return jnp.where(attention_mask == 0, 1, pos)
+
+
+def make_2d_pos_offset(cfg: LibraConfig) -> jax.Array:
+    """(max_vision_token_length + 1, 2) table: BOI->0, grid (i,j) 1-indexed,
+    EOI->0, text (index==578)->0. Reference: modeling_libra.py:576-587."""
+    R = cfg.image_feature_resolution
+    i = jnp.arange(1, R + 1)
+    hh = jnp.broadcast_to(i[:, None], (R, R))
+    ww = jnp.broadcast_to(i[None, :], (R, R))
+    grid = jnp.stack([hh, ww], axis=-1).reshape(-1, 2)
+    return jnp.concatenate(
+        [jnp.zeros((1, 2), jnp.int32), grid.astype(jnp.int32),
+         jnp.zeros((2, 2), jnp.int32)], axis=0)
+
+
+def get_2d_position_ids(cfg: LibraConfig, vision_indices: jax.Array,
+                        attention_mask: Optional[jax.Array] = None) -> jax.Array:
+    """2D-RoPE position ids, (B, 2, N).
+
+    Reference: LibraModel.get_2d_position_ids (modeling_libra.py:663-678):
+    text/BOI advance the base counter by 1, EOI advances by R+1, in-image
+    tokens advance 0 and add their (row, col) offset.
+    """
+    M, R = cfg.max_vision_token_length, cfg.image_feature_resolution
+    step = jnp.logical_or(vision_indices == M, vision_indices == 0)
+    if attention_mask is not None:
+        step = jnp.where(attention_mask == 0, False, step)
+    step = step.astype(jnp.int32)
+    step = jnp.where(vision_indices == M - 1, R + 1, step)
+    base = jnp.cumsum(step, axis=-1) - 1                       # (B, N)
+    pos = jnp.broadcast_to(base[..., None], base.shape + (2,))
+    offset = make_2d_pos_offset(cfg)[jnp.clip(vision_indices, 0, M)]
+    pos = pos + offset
+    if attention_mask is not None:
+        pos = jnp.where((attention_mask == 0)[..., None], 1, pos)
+    return pos.transpose(0, 2, 1)
+
+
+# ---------------------------------------------------------------------------
+# Decoder layer
+# ---------------------------------------------------------------------------
+
+def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    B, N, D = x.shape
+    return x.reshape(B, N, num_heads, D // num_heads)
+
+
+def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
+               cos, sin, position_ids, bias, kv_flag,
+               cache_slice) -> Tuple[jax.Array, Any]:
+    """Routed attention with bridge. h is the (routed-)normed input.
+
+    cache_slice: None (no cache) or per-layer dict of (B, S, H, d) buffers
+    plus the write index. Returns (attn_out (B,N,D), new_cache_slice).
+    """
+    H = cfg.num_attention_heads
+    am = cfg.addition_mode
+    a = p["attn"]
+
+    def rproj(name):
+        vp = a["vision_" + name[0]]  # vision_q / vision_k / vision_v
+        return routed_linear(h, flag, a[name], vp["wa"], vp["wb"], am)
+
+    q = _split_heads(rproj("q_proj"), H)
+    k = _split_heads(rproj("k_proj"), H)
+    v = _split_heads(rproj("v_proj"), H)
+
+    rope = (functools.partial(apply_rope_2d) if cfg.use_2d_rope
+            else functools.partial(apply_rope))
+    q = rope(q, cos, sin, position_ids)
+    k = rope(k, cos, sin, position_ids)
+
+    kb = vb = None
+    if cfg.use_bridge:
+        kb = _split_heads(routed_low_rank(
+            h, flag, a["k_bridge_lang"]["wa"], a["k_bridge_lang"]["wb"],
+            a["k_bridge_vis"]["wa"], a["k_bridge_vis"]["wb"]), H)
+        vb = _split_heads(routed_low_rank(
+            h, flag, a["v_bridge_lang"]["wa"], a["v_bridge_lang"]["wb"],
+            a["v_bridge_vis"]["wa"], a["v_bridge_vis"]["wb"]), H)
+        kb = rope(kb, cos, sin, position_ids)  # rope is linear: rope(K+Kb)
+
+    new_cache = None
+    if cache_slice is not None:
+        idx = cache_slice["index"]
+        ck = _write_cache(cache_slice["k"], k, idx)
+        cv = _write_cache(cache_slice["v"], v, idx)
+        new_cache = {"k": ck, "v": cv}
+        k, v = ck, cv
+        if cfg.use_bridge:
+            ckb = _write_cache(cache_slice["kb"], kb, idx)
+            cvb = _write_cache(cache_slice["vb"], vb, idx)
+            new_cache.update({"kb": ckb, "vb": cvb})
+            kb, vb = ckb, cvb
+
+    out = bridged_attention(AttentionInputs(q, k, v, kb, vb),
+                            flag, kv_flag, bias)
+    out = out.reshape(h.shape[0], h.shape[1], cfg.hidden_size)
+    vo = a["vision_o"]
+    out = routed_linear(out, flag, a["o_proj"], vo["wa"], vo["wb"], am)
+    return out, new_cache
+
+
+def _mlp(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array) -> jax.Array:
+    """Routed SwiGLU MLP (reference: LibraMLP, modeling_libra.py:206-238).
+    Note: LibraMLP routes strictly even in addition_mode (its forward never
+    consults the flag's addition variant)."""
+    m = p["mlp"]
+    cd = h.dtype
+    lang = jnp.einsum("bni,io->bno",
+                      jax.nn.silu(h @ m["gate_proj"].astype(cd)) *
+                      (h @ m["up_proj"].astype(cd)),
+                      m["down_proj"].astype(cd))
+    gate_v = low_rank_linear(h, m["vision_gate"]["wa"], m["vision_gate"]["wb"])
+    up_v = low_rank_linear(h, m["vision_up"]["wa"], m["vision_up"]["wb"])
+    vis = low_rank_linear(jax.nn.silu(gate_v) * up_v,
+                          m["vision_down"]["wa"], m["vision_down"]["wb"])
+    return select_by_flag(flag, vis, lang)
+
+
+def decoder_layer(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
+                  cos, sin, position_ids, bias, kv_flag,
+                  cache_slice) -> Tuple[jax.Array, Any]:
+    """One pre-norm decoder layer with separate vision RMSNorms
+    (reference: LibraDecoderLayer, modeling_libra.py:416-491)."""
+    eps = cfg.rms_norm_eps
+    hn = select_by_flag(flag,
+                        rms_norm(h, p["vision_input_layernorm"], eps),
+                        rms_norm(h, p["input_layernorm"], eps))
+    attn_out, new_cache = _attention(p, cfg, hn, flag, cos, sin,
+                                     position_ids, bias, kv_flag, cache_slice)
+    h = h + attn_out
+    hn2 = select_by_flag(flag,
+                         rms_norm(h, p["vision_post_attention_layernorm"], eps),
+                         rms_norm(h, p["post_attention_layernorm"], eps))
+    h = h + _mlp(p, cfg, hn2, flag)
+    return h, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Full forward
+# ---------------------------------------------------------------------------
+
+class ModelOutput(NamedTuple):
+    hidden_states: jax.Array        # (B, N, D) -- routed-final-norm applied
+    cache: Optional[KVCache]
+
+
+def forward(params: Params, cfg: LibraConfig, input_ids: jax.Array,
+            attention_mask: jax.Array, vision_indices: jax.Array,
+            contiguous_signal: Optional[jax.Array] = None,
+            position_ids: Optional[jax.Array] = None,
+            cache: Optional[KVCache] = None,
+            remat: bool = False) -> ModelOutput:
+    """Backbone forward (reference: LibraModel.forward, modeling_libra.py:680-831).
+
+    input_ids: (Q, B, N) combined-vocab ids.
+    attention_mask: (B, N) without cache, or (B, max_cache_len) with cache
+      (slots >= written prompt+generated are 0).
+    vision_indices: (B, N) in [0, 578]; 578 == text.
+    """
+    flag = vision_indices < cfg.max_vision_token_length
+    B, N = flag.shape
+    h = embed_inputs(params, cfg, input_ids, flag, contiguous_signal,
+                     vision_indices)
+
+    if cache is None:
+        rope_len = max(cfg.max_position_embeddings, N)
+        kv_flag = flag
+        bias = causal_bias(attention_mask, N, N)
+        if position_ids is None:
+            position_ids = (get_2d_position_ids(cfg, vision_indices, attention_mask)
+                            if cfg.use_2d_rope
+                            else position_ids_from_mask(attention_mask))
+    else:
+        S = cache.flag.shape[1]
+        rope_len = max(cfg.max_position_embeddings, S)
+        flag_buf = jax.lax.dynamic_update_slice(cache.flag, flag,
+                                                (0, cache.index))
+        kv_flag = flag_buf
+        # queries occupy slots [index, index+N); keys are the whole buffer
+        q_slots = cache.index + jnp.arange(N)
+        k_slots = jnp.arange(S)
+        causal = k_slots[None, :] <= q_slots[:, None]
+        keep = causal[None, None] & attention_mask.astype(bool)[:, None, None, :]
+        bias = jnp.where(keep, 0.0, BIG_NEG).astype(jnp.float32)
+        if position_ids is None:
+            raise ValueError("position_ids must be provided when using a cache")
+
+    cos, sin = rope_cos_sin(rope_len, cfg.head_dim, cfg.rope_theta)
+
+    def body(carry_h, xs):
+        if cache is None:
+            p = xs
+            cache_slice = None
+        else:
+            p, c = xs
+            cache_slice = dict(c, index=cache.index)
+        new_h, new_c = decoder_layer(p, cfg, carry_h, flag, cos, sin,
+                                     position_ids, bias, kv_flag, cache_slice)
+        return new_h, new_c
+
+    if remat:
+        body = jax.checkpoint(body)
+
+    if cache is None:
+        h, _ = jax.lax.scan(body, h, params["layers"])
+        new_cache = None
+    else:
+        per_layer = {"k": cache.k, "v": cache.v}
+        if cfg.use_bridge:
+            per_layer.update({"kb": cache.kb, "vb": cache.vb})
+        h, outs = jax.lax.scan(body, h, (params["layers"], per_layer))
+        new_cache = KVCache(
+            k=outs["k"], v=outs["v"],
+            kb=outs.get("kb"), vb=outs.get("vb"),
+            flag=kv_flag, index=cache.index + N)
+
+    eps = cfg.rms_norm_eps
+    h = select_by_flag(flag,
+                       rms_norm(h, params["vision_norm"], eps),
+                       rms_norm(h, params["norm"], eps))
+    return ModelOutput(hidden_states=h, cache=new_cache)
+
+
+# ---------------------------------------------------------------------------
+# Heads / logits / loss
+# ---------------------------------------------------------------------------
+
+def compute_text_logits(params: Params, h: jax.Array) -> jax.Array:
+    return jnp.einsum("bnd,dv->bnv", h, params["lm_head"].astype(h.dtype))
+
+
+def compute_vision_logits(params: Params, h: jax.Array) -> jax.Array:
+    """(Q, B, N, Vv) from the per-codebook vision heads (1d mode;
+    reference: MultiLMHead, modeling_libra.py:834-843)."""
+    return jnp.einsum("bnd,qdv->qbnv", h,
+                      params["vision_lm_head"].astype(h.dtype))
+
+
+def assemble_logits(cfg: LibraConfig, text_logits: jax.Array,
+                    vision_logits: jax.Array, flag: jax.Array) -> jax.Array:
+    """Assemble (Q, B, N, V + Vv) combined logits with -inf placeholders on
+    the wrong modality's slice (reference: cal_vl_logits,
+    modeling_libra.py:1018-1052). Used at decode time (N small); training
+    loss avoids materialising this via `multicodebook_loss`."""
+    Q = cfg.vision_codebook_num
+    neg = jnp.float32(-jnp.inf)
+    tl = jnp.where(flag[..., None], neg, text_logits.astype(jnp.float32))
+    vl = jnp.where(flag[None, ..., None], vision_logits.astype(jnp.float32), neg)
+    tl = jnp.broadcast_to(tl[None], (Q,) + tl.shape)
+    return jnp.concatenate([tl, vl], axis=-1)
+
+
+def multicodebook_loss(cfg: LibraConfig, text_logits: jax.Array,
+                       vision_logits: jax.Array, flag: jax.Array,
+                       labels: jax.Array) -> jax.Array:
+    """Per-codebook shifted CE over the combined vocab, averaged over
+    codebooks (reference: modeling_libra.py:1159-1174).
+
+    labels: (Q, B, N) combined-vocab ids, -100 = ignore. Exploits the -inf
+    placeholder structure: for a language position the combined softmax
+    reduces to softmax over the text slice, and vice versa -- so we never
+    materialise (Q, B, N, 32514).
+    """
+    V = cfg.vocab_size
+    tl = text_logits.astype(jnp.float32)
+    vl = vision_logits.astype(jnp.float32)
+    lse_text = jax.nn.logsumexp(tl, axis=-1)          # (B, N)
+    lse_vis = jax.nn.logsumexp(vl, axis=-1)           # (Q, B, N)
+
+    # shift: logits[t] predicts labels[t+1]
+    shift_flag = flag[:, :-1]
+    total = jnp.float32(0.0)
+    for q in range(cfg.vision_codebook_num):
+        lab = labels[q][:, 1:]                         # (B, N-1)
+        valid = lab != -100
+        lab_safe = jnp.where(valid, lab, 0)
+        is_text_label = lab_safe < V
+        t_gather = jnp.take_along_axis(
+            tl[:, :-1], jnp.clip(lab_safe, 0, V - 1)[..., None],
+            axis=-1)[..., 0]
+        v_gather = jnp.take_along_axis(
+            vl[q][:, :-1],
+            jnp.clip(lab_safe - V, 0, cfg.vision_vocab_size - 1)[..., None],
+            axis=-1)[..., 0]
+        # position modality picks the head; a cross-modal label means the
+        # reference would produce a -inf logit (infinite loss) -- such labels
+        # are masked by the data layer; we guard with a large penalty.
+        logit = jnp.where(shift_flag, v_gather, t_gather)
+        modality_ok = jnp.where(shift_flag, ~is_text_label, is_text_label)
+        logit = jnp.where(modality_ok, logit, BIG_NEG)
+        lse = jnp.where(shift_flag, lse_vis[q][:, :-1], lse_text[:, :-1])
+        nll = (lse - logit) * valid
+        denom = jnp.maximum(jnp.sum(valid), 1)
+        total = total + jnp.sum(nll) / denom
+    return total / cfg.vision_codebook_num
+
+
+def force_eoi_newline(cfg: LibraConfig, logits: jax.Array,
+                      last_vision_indices: jax.Array) -> jax.Array:
+    """After <EOI> (vision_index == 577), force the next token to be '\n'
+    (reference: modeling_libra.py:1141-1144 via
+    eoi_to_newline_logits_placeholder, 879-882).
+
+    logits: (Q, B, Vc) last-position logits; last_vision_indices: (B,).
+    """
+    eoi = last_vision_indices == cfg.max_vision_token_length - 1
+    forced = jnp.full_like(logits, -jnp.inf)
+    forced = forced.at[..., cfg.newline_token_id].set(jnp.inf)
+    return jnp.where(eoi[None, :, None], forced, logits)
