@@ -1,0 +1,200 @@
+"""Autoregressive generation: jitted prefill + lax.while_loop decode.
+
+TPU-native replacement for the reference's Python decode loop
+(modeling_libra_utils.py:60-635, overriding HF greedy_search/sample):
+
+* one jitted prefill over the (left-padded, bucketed) prompt;
+* a `lax.while_loop` decode with NO host round-trips -- multi-codebook
+  argmax / categorical sampling, EOS tracking on any codebook (language
+  logits are identical across codebooks), eoi->newline forcing, and
+  `vision_indices` auto-increment are all pure carried state;
+* the reference's ZeRO-3 `synced_gpus` all-reduce handshake is unnecessary:
+  SPMD decode is lockstep by construction.
+
+Prompts must be LEFT-padded for batched generation (as in the reference
+demo: padding_side='left').
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libra_tpu.config import LibraConfig
+from libra_tpu.models import libra as M
+
+
+@dataclass(frozen=True)
+class GenerationConfig:
+    max_new_tokens: int = 128
+    do_sample: bool = False
+    temperature: float = 1.0
+    top_k: int = 0           # 0 = disabled
+    top_p: float = 1.0       # 1.0 = disabled
+    eos_token_id: int = 2
+    pad_token_id: int = 0
+    prompt_bucket: int = 0   # 0 = pad prompt to exact length (one jit per len)
+
+
+def _filter_top_k(logits: jax.Array, k: int) -> jax.Array:
+    kth = jnp.sort(logits, axis=-1)[..., -k][..., None]
+    return jnp.where(logits < kth, -jnp.inf, logits)
+
+
+def _filter_top_p(logits: jax.Array, p: float) -> jax.Array:
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep the smallest set with cumulative prob >= p (always keep top-1)
+    cutoff_mask = cum - probs >= p
+    cutoff = jnp.where(cutoff_mask, sorted_logits, -jnp.inf)
+    threshold = jnp.max(cutoff, axis=-1, keepdims=True)
+    return jnp.where(logits < threshold, -jnp.inf, logits)
+
+
+def sample_tokens(logits: jax.Array, gen: GenerationConfig,
+                  rng: jax.Array) -> jax.Array:
+    """logits: (Q, B, Vc) -> tokens (Q, B). Per-codebook argmax or
+    independent multinomial (reference: modeling_libra_utils.py:263,
+    559-563)."""
+    if not gen.do_sample:
+        return jnp.argmax(logits, axis=-1)
+    x = logits / jnp.maximum(gen.temperature, 1e-6)
+    if gen.top_k > 0:
+        x = _filter_top_k(x, gen.top_k)
+    if gen.top_p < 1.0:
+        x = _filter_top_p(x, gen.top_p)
+    Q, B, Vc = x.shape
+    return jax.random.categorical(rng, x, axis=-1)
+
+
+class GenerateResult(NamedTuple):
+    sequences: jax.Array       # (Q, B, prompt_len + max_new_tokens)
+    num_generated: jax.Array   # (B,) tokens generated incl. EOS
+
+
+def _last_position_logits(params, cfg: LibraConfig, hidden: jax.Array,
+                          flag_last: jax.Array, vi_last: jax.Array):
+    """Combined-vocab logits for the last position of `hidden` (B, N, D)."""
+    h = hidden[:, -1:]
+    tl = M.compute_text_logits(params, h)
+    vl = M.compute_vision_logits(params, h)
+    logits = M.assemble_logits(cfg, tl, vl, flag_last[:, None])[:, :, 0]
+    return M.force_eoi_newline(cfg, logits, vi_last)       # (Q, B, Vc)
+
+
+def _generate_impl(params, input_ids, attention_mask, vision_indices,
+                   contiguous_signal, rng, *, cfg: LibraConfig,
+                   gen: GenerationConfig):
+    Q, B, N = input_ids.shape
+    Mv = cfg.max_vision_token_length
+    S = N + gen.max_new_tokens
+
+    cache = M.init_cache(cfg, B, S)
+    mask_buf = jnp.zeros((B, S), jnp.int32).at[:, :N].set(attention_mask)
+    pos = M.position_ids_from_mask(attention_mask)
+    out = M.forward(params, cfg, input_ids, mask_buf, vision_indices,
+                    contiguous_signal, position_ids=pos, cache=cache)
+
+    flag_last = vision_indices[:, -1] < Mv
+    vi_last = vision_indices[:, -1]
+    logits = _last_position_logits(params, cfg, out.hidden_states,
+                                   flag_last, vi_last)
+
+    tokens = jnp.zeros((Q, B, S), input_ids.dtype).at[:, :, :N].set(input_ids)
+    last_pos = pos[:, -1]
+
+    def cond(state):
+        t, _, _, _, _, _, _, _, finished, _ = state
+        return (t < gen.max_new_tokens) & ~jnp.all(finished)
+
+    def body(state):
+        (t, tokens, mask_buf, cache, logits, vi_last, last_pos, rng,
+         finished, num_gen) = state
+        rng, step_rng = jax.random.split(rng)
+        next_tok = sample_tokens(logits, gen, step_rng)          # (Q, B)
+        next_tok = jnp.where(finished[None, :], gen.pad_token_id, next_tok)
+        # EOS on any codebook finishes (language logits identical across
+        # codebooks; reference: modeling_libra_utils.py:281-285)
+        newly_finished = jnp.any(next_tok == gen.eos_token_id, axis=0)
+        num_gen = num_gen + jnp.where(finished, 0, 1)
+        finished = finished | newly_finished
+
+        slot = N + t
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, next_tok[:, :, None].astype(tokens.dtype), (0, 0, slot))
+        mask_buf = jax.lax.dynamic_update_slice(
+            mask_buf, jnp.ones((B, 1), mask_buf.dtype), (0, slot))
+        # vision_indices auto-increment, clamped at text (reference:
+        # _update_model_kwargs_for_generation, modeling_libra.py:1273-1281)
+        vi_new = jnp.minimum(vi_last + 1, Mv)
+        new_pos = last_pos + 1
+
+        step = M.forward(params, cfg, next_tok[:, :, None], mask_buf,
+                         vi_new[:, None], None,
+                         position_ids=new_pos[:, None], cache=cache)
+        logits = _last_position_logits(params, cfg, step.hidden_states,
+                                       vi_new < Mv, vi_new)
+        return (t + 1, tokens, mask_buf, step.cache, logits, vi_new,
+                new_pos, rng, finished, num_gen)
+
+    init = (jnp.int32(0), tokens, mask_buf, out.cache, logits, vi_last,
+            last_pos, rng, jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32))
+    (t, tokens, _, _, _, _, _, _, finished, num_gen) = jax.lax.while_loop(
+        cond, body, init)
+    return GenerateResult(sequences=tokens, num_generated=num_gen)
+
+
+class Generator:
+    """Compiled-generation frontend. Jits one program per
+    (prompt_len_bucket, generation config) and reuses it across calls."""
+
+    def __init__(self, params, cfg: LibraConfig):
+        self.params = params
+        self.cfg = cfg
+        self._compiled: Dict[Any, Any] = {}
+
+    def _get_fn(self, gen: GenerationConfig):
+        key = gen
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(functools.partial(
+                _generate_impl, cfg=self.cfg, gen=gen))
+        return self._compiled[key]
+
+    def __call__(self, inputs: Dict[str, Any],
+                 gen: Optional[GenerationConfig] = None,
+                 rng: Optional[jax.Array] = None) -> GenerateResult:
+        """inputs: dict from LibraTokenizer (input_ids (Q,B,N) LEFT-padded,
+        attention_mask, vision_indices, coninous_signal)."""
+        gen = gen or GenerationConfig()
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        ids = jnp.asarray(inputs["input_ids"])
+        mask = jnp.asarray(inputs["attention_mask"])
+        vi = jnp.asarray(inputs["vision_indices"])
+        sig = inputs.get("coninous_signal")
+        sig = None if sig is None else jnp.asarray(sig)
+
+        if gen.prompt_bucket > 1:
+            N = ids.shape[-1]
+            pad = (-N) % gen.prompt_bucket
+            if pad:
+                # left-pad to the bucket boundary
+                Q, B, _ = ids.shape
+                ids = jnp.concatenate(
+                    [jnp.full((Q, B, pad), gen.pad_token_id, ids.dtype), ids],
+                    axis=-1)
+                mask = jnp.concatenate(
+                    [jnp.zeros((B, pad), mask.dtype), mask], axis=-1)
+                vi = jnp.concatenate(
+                    [jnp.full((B, pad), self.cfg.max_vision_token_length,
+                              vi.dtype), vi], axis=-1)
+                if sig is not None:
+                    sig = jnp.concatenate(
+                        [jnp.zeros((B, pad, sig.shape[-1]), sig.dtype), sig],
+                        axis=1)
+        return self._get_fn(gen)(self.params, ids, mask, vi, sig, rng)

@@ -545,6 +545,8 @@ def force_eoi_newline(cfg: LibraConfig, logits: jax.Array,
     logits: (Q, B, Vc) last-position logits; last_vision_indices: (B,).
     """
     eoi = last_vision_indices == cfg.max_vision_token_length - 1
-    forced = jnp.full_like(logits, -jnp.inf)
-    forced = forced.at[..., cfg.newline_token_id].set(jnp.inf)
+    # finite stand-ins for the reference's +-inf placeholders so that a
+    # downstream softmax (sampling path) stays NaN-free
+    forced = jnp.full_like(logits, -1e30)
+    forced = forced.at[..., cfg.newline_token_id].set(1e30)
     return jnp.where(eoi[None, :, None], forced, logits)

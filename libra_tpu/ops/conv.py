@@ -25,8 +25,14 @@ def conv2d(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None,
 def group_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
                groups: int = 32, eps: float = 1e-6) -> jax.Array:
     """GroupNorm over NHWC (taming Normalize: 32 groups, eps 1e-6;
-    reference: taming/modules/diffusionmodules/model.py:33-35)."""
+    reference: taming/modules/diffusionmodules/model.py:33-35).
+
+    Channel counts in real checkpoints are multiples of 32; for miniature
+    test configs we fall back to the largest group count dividing C."""
     B, H, W, C = x.shape
+    if C % groups != 0:
+        import math
+        groups = math.gcd(groups, C)
     xf = x.astype(jnp.float32).reshape(B, H, W, groups, C // groups)
     mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
     var = jnp.var(xf, axis=(1, 2, 4), keepdims=True)

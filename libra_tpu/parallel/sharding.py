@@ -1,0 +1,121 @@
+"""Parameter and activation sharding rules (GSPMD PartitionSpecs).
+
+Megatron-style tensor parallelism over the "model" axis:
+  * column-parallel: q/k/v, gate/up, vision low-rank B-factors feeding
+    head-sharded activations;
+  * row-parallel: o_proj, down_proj, vision low-rank A-factors consuming
+    head-/intermediate-sharded activations (XLA inserts the psum);
+FSDP-style weight sharding over the "fsdp" axis on a non-contracting dim
+(the reference's ZeRO-2/3: DeepSpeed configs, SURVEY.md section 2.5).
+
+All rules are name-based over the pytree paths of
+libra_tpu.models.libra.init_params; stacked layer params get a leading
+None for the layer axis.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from libra_tpu.config import LibraConfig
+
+
+def _spec_for(path: str, ndim: int, layered: bool) -> P:
+    """PartitionSpec for a parameter identified by its '/'-joined path."""
+    d, f, m = "data", "fsdp", "model"
+
+    def out(*axes):
+        axes = list(axes)
+        assert len(axes) == (ndim - 1 if layered else ndim), path
+        if layered:
+            axes = [None] + axes
+        return P(*axes)
+
+    name = path.split("/")[-1]
+    parent = path.split("/")[-2] if "/" in path else ""
+
+    # --- attention / MLP full-rank projections ---
+    if name in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
+        return out(f, m)            # column-parallel
+    if name in ("o_proj", "down_proj"):
+        return out(m, f)            # row-parallel
+
+    # --- low-rank vision twins and bridges ---
+    if name == "wa":
+        if parent in ("vision_o",):
+            return out(m, None)     # consumes head-sharded activations
+        if parent in ("vision_down",):
+            return out(m, f)        # consumes intermediate-sharded acts
+        if parent.startswith(("k_bridge", "v_bridge")):
+            return out(f, None)     # rank-8: replicate bottleneck
+        return out(f, None)         # vision_q/k/v/gate/up
+    if name == "wb":
+        if parent in ("vision_o", "vision_down"):
+            return out(None, f)
+        if parent.startswith(("k_bridge", "v_bridge")):
+            return out(None, m)     # head-sharded outputs
+        if parent in ("vision_gate", "vision_up"):
+            return out(None, m)
+        return out(None, m)         # vision_q/k/v -> head-sharded
+
+    # --- embeddings / heads ---
+    if name == "embed_tokens":
+        return out(None, f)
+    if name == "vision_embed_tokens":
+        return out(None, None, None)
+    if name == "lm_head":
+        return out(f, m)            # vocab-parallel output
+    if name == "vision_lm_head":
+        return out(None, f, None)
+    if name == "signal_proj":
+        return out(f, None)
+    if name == "vision_position_embedding":
+        return out(None, None)
+
+    # norms, placeholders, scalars: replicate
+    return out(*([None] * (ndim - 1 if layered else ndim)))
+
+
+def param_specs(params: Any) -> Any:
+    """Pytree of PartitionSpec matching a libra param pytree."""
+    def visit(path, leaf):
+        keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+        layered = "layers" in keys
+        return _spec_for("/".join(keys), leaf.ndim, layered)
+    return jax.tree_util.tree_map_with_path(visit, params)
+
+
+def param_shardings(mesh: Mesh, params: Any) -> Any:
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), param_specs(params))
+
+
+def shard_params(mesh: Mesh, params: Any) -> Any:
+    """Place a (host or replicated) param pytree onto the mesh."""
+    return jax.device_put(params, param_shardings(mesh, params))
+
+
+def batch_spec() -> P:
+    """Batch dims shard over (data, fsdp) combined -- FSDP groups behave as
+    extra data parallelism, like ZeRO."""
+    return P(("data", "fsdp"))
+
+
+# Batch arrays keyed by name: input_ids/labels are codebook-major (Q, B, N),
+# everything else is batch-major.
+_CODEBOOK_MAJOR = {"input_ids", "labels"}
+
+
+def data_shardings(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    out = {}
+    for k, v in batch.items():
+        if v is None:
+            out[k] = None
+        elif k in _CODEBOOK_MAJOR:
+            out[k] = NamedSharding(mesh, P(None, ("data", "fsdp")))
+        else:
+            out[k] = NamedSharding(mesh, P(("data", "fsdp")))
+    return out

@@ -1,0 +1,117 @@
+"""SPMD tests on a virtual 8-device CPU mesh (conftest forces
+xla_force_host_platform_device_count=8): parameter sharding, a full
+fsdp+tp train step, and freeze policies."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libra_tpu.config import LibraConfig
+from libra_tpu.models import libra as M
+from libra_tpu.parallel import make_mesh, param_specs
+from libra_tpu.training.optimizer import OptimizerConfig, trainable_mask
+from libra_tpu.training.trainer import Trainer
+
+from tests.test_core_model import make_inputs
+
+
+def make_batch(cfg, B=4):
+    ids, mask, vi, sig = make_inputs(cfg, B=B)
+    labels = jnp.where(mask[None].astype(bool), ids, -100)
+    boi_id = cfg.vocab_size + cfg.vision_vocab_size - 2
+    labels = jnp.where(ids == boi_id, -100, labels)
+    post_img = jnp.roll(vi == cfg.max_vision_token_length - 1, 1, axis=-1)
+    labels = jnp.where(post_img[None], -100, labels)
+    return {"input_ids": ids, "attention_mask": mask, "vision_indices": vi,
+            "coninous_signal": sig, "labels": labels}
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = LibraConfig.tiny()
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_param_specs_cover_tree(tiny):
+    cfg, params = tiny
+    specs = param_specs(params)
+    n_params = len(jax.tree_util.tree_leaves(params))
+    n_specs = len(jax.tree_util.tree_leaves(
+        specs, is_leaf=lambda x: x is None or hasattr(x, "index")))
+    assert n_params > 0
+    # every param leaf got a spec with matching rank
+    flat_p = jax.tree_util.tree_leaves_with_path(params)
+    flat_s = dict(jax.tree_util.tree_leaves_with_path(
+        specs, is_leaf=lambda x: hasattr(x, "index")))
+    for path, leaf in flat_p:
+        spec = flat_s[path]
+        assert len(spec) <= leaf.ndim, (path, spec, leaf.shape)
+
+
+def test_train_step_fsdp_tp(tiny):
+    cfg, params = tiny
+    mesh = make_mesh(data=2, fsdp=2, model=2)
+    opt_cfg = OptimizerConfig(learning_rate=1e-3, total_steps=100,
+                              warmup_ratio=0.0)
+    trainer = Trainer(cfg, params, mesh, opt_cfg)
+    batch = make_batch(cfg, B=4)
+    m1 = trainer.step(batch)
+    l1 = float(m1["loss"])
+    for _ in range(3):
+        m = trainer.step(batch)
+    l2 = float(m["loss"])
+    assert np.isfinite(l1) and np.isfinite(l2)
+    assert l2 < l1  # same-batch loss must drop
+
+
+def test_sharded_matches_single_device(tiny):
+    """The sharded train step must produce the same loss as 1-device."""
+    cfg, params = tiny
+    batch = make_batch(cfg, B=4)
+    opt_cfg = OptimizerConfig(learning_rate=1e-3, total_steps=100,
+                              warmup_ratio=0.0)
+    t1 = Trainer(cfg, params, make_mesh(1, 1, 1), opt_cfg)
+    t8 = Trainer(cfg, params, make_mesh(2, 2, 2), opt_cfg)
+    l1 = float(t1.step(batch)["loss"])
+    l8 = float(t8.step(batch)["loss"])
+    np.testing.assert_allclose(l1, l8, rtol=1e-4)
+    l1b = float(t1.step(batch)["loss"])
+    l8b = float(t8.step(batch)["loss"])
+    np.testing.assert_allclose(l1b, l8b, rtol=1e-3)
+
+
+def test_frozen_language_mask(tiny):
+    cfg, params = tiny
+    mask = trainable_mask(params, OptimizerConfig(frozen_language=True))
+    flat = jax.tree_util.tree_leaves_with_path(mask)
+    by_path = {"/".join(p.key for p in path): v for path, v in flat}
+    assert by_path["layers/attn/q_proj"] is False
+    assert by_path["layers/attn/vision_q/wa"] is True
+    assert by_path["layers/attn/k_bridge_lang/wa"] is True  # name has 'bridge'
+    assert by_path["embed_tokens"] is False
+    assert by_path["signal_proj"] is True     # vision_contiguous_signal_processor
+    assert by_path["signal_norm"] is True     # vision_signal_norm
+    assert by_path["norm"] is False
+    assert by_path["vision_norm"] is True
+    assert by_path["lm_head"] is False
+    assert by_path["vision_lm_head"] is True
+
+
+def test_frozen_params_unchanged(tiny):
+    cfg, params = tiny
+    mesh = make_mesh(1, 2, 2)
+    opt_cfg = OptimizerConfig(learning_rate=1e-2, total_steps=100,
+                              warmup_ratio=0.0, frozen_language=True)
+    trainer = Trainer(cfg, params, mesh, opt_cfg)
+    before = np.asarray(jax.device_get(trainer.state.params["lm_head"]))
+    before_v = np.asarray(jax.device_get(
+        trainer.state.params["vision_lm_head"]))
+    batch = make_batch(cfg, B=4)
+    trainer.step(batch)
+    trainer.step(batch)  # step 0 has lr=0 (warmup schedule starts at 0)
+    after = np.asarray(jax.device_get(trainer.state.params["lm_head"]))
+    after_v = np.asarray(jax.device_get(trainer.state.params["vision_lm_head"]))
+    np.testing.assert_array_equal(before, after)
+    assert np.abs(after_v - before_v).max() > 0
