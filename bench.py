@@ -27,10 +27,10 @@ def bench_decode(num_layers=8, B=1, text_len=32, max_new=128):
 
     from libra_tpu.generation import GenerationConfig, Generator
     from libra_tpu.models import libra as M
-    from __graft_entry__ import _example_batch, _flagship_cfg
+    from __graft_entry__ import _example_batch, _flagship_cfg, fast_random_params
 
     cfg = _flagship_cfg(num_layers)
-    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    params = fast_random_params(cfg)
     ids, mask, vi, sig = _example_batch(cfg, B=B, text_len=text_len)
     inputs = {"input_ids": ids, "attention_mask": mask,
               "vision_indices": vi, "coninous_signal": sig}
