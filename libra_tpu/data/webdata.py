@@ -1,0 +1,152 @@
+"""Streaming tar-shard (webdataset-format) pipeline.
+
+TPU-native replacement for the reference's `webdataset` DataPipeline
+(laion_dataset.py:60-67): resampled shards -> tar -> grouped samples ->
+shuffle buffer -> decode -> map, with skip-and-continue error handling at
+every stage (the reference's wds.warn_and_continue). Pure Python here; a
+C++ shard reader with readahead can be swapped in via
+libra_tpu.runtime (same sample-dict contract).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import random
+import tarfile
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional, Sequence
+
+logger = logging.getLogger(__name__)
+
+
+def expand_shards(location) -> List[str]:
+    """Accept a list of paths, a glob pattern, or a brace pattern
+    `prefix-{000..123}.tar`."""
+    if isinstance(location, (list, tuple)):
+        out: List[str] = []
+        for loc in location:
+            out.extend(expand_shards(loc))
+        return out
+    loc = str(location)
+    if "{" in loc and ".." in loc:
+        head, rest = loc.split("{", 1)
+        spec, tail = rest.split("}", 1)
+        lo, hi = spec.split("..")
+        width = len(lo)
+        return [f"{head}{i:0{width}d}{tail}" for i in range(int(lo), int(hi) + 1)]
+    if any(ch in loc for ch in "*?["):
+        p = Path(loc)
+        return sorted(str(x) for x in p.parent.glob(p.name))
+    return [loc]
+
+
+def tar_samples(shard_path: str) -> Iterator[Dict[str, bytes]]:
+    """Group tar members by key (path minus last extension) into sample
+    dicts {"__key__": key, ext: bytes, ...}."""
+    with tarfile.open(shard_path, mode="r|*") as tf:
+        current: Dict[str, Any] = {}
+        cur_key: Optional[str] = None
+        for member in tf:
+            if not member.isfile():
+                continue
+            name = member.name
+            if "." not in name:
+                continue
+            key, ext = name.rsplit(".", 1)
+            if cur_key is not None and key != cur_key and current:
+                yield current
+                current = {}
+            cur_key = key
+            f = tf.extractfile(member)
+            if f is None:
+                continue
+            current["__key__"] = key
+            current[ext.lower()] = f.read()
+        if current:
+            yield current
+
+
+def shuffled(it: Iterator, bufsize: int, initial: int,
+             rng: random.Random) -> Iterator:
+    """Reservoir shuffle buffer (wds.shuffle semantics)."""
+    buf: List[Any] = []
+    for x in it:
+        buf.append(x)
+        if len(buf) < max(initial, 1):
+            continue
+        if len(buf) >= bufsize:
+            idx = rng.randrange(len(buf))
+            buf[idx], buf[-1] = buf[-1], buf[idx]
+            yield buf.pop()
+    rng.shuffle(buf)
+    yield from buf
+
+
+def decode_sample(sample: Dict[str, bytes]) -> Dict[str, Any]:
+    """Decode jpg/png -> PIL RGB, json -> dict, txt -> str."""
+    from PIL import Image
+    out: Dict[str, Any] = {"__key__": sample.get("__key__")}
+    for k, v in sample.items():
+        if k == "__key__":
+            continue
+        if k in ("jpg", "jpeg", "png", "webp"):
+            out["jpg"] = Image.open(io.BytesIO(v)).convert("RGB")
+        elif k == "json":
+            out["json"] = json.loads(v)
+        elif k in ("txt", "text"):
+            out["txt"] = v.decode("utf-8")
+        else:
+            out[k] = v
+    return out
+
+
+class ShardStream:
+    """Infinite resampled-shard sample stream with per-stage
+    skip-and-continue error handling."""
+
+    def __init__(self, location, *, shuffle_bufsize: int = 5000,
+                 shuffle_initial: int = 1000, seed: int = 0,
+                 deterministic: bool = True, resample: bool = True,
+                 map_fn: Optional[Callable] = None):
+        self.shards = expand_shards(location)
+        if not self.shards:
+            raise FileNotFoundError(f"no shards match {location}")
+        self.shuffle_bufsize = shuffle_bufsize
+        self.shuffle_initial = shuffle_initial
+        self.seed = seed
+        self.deterministic = deterministic
+        self.resample = resample
+        self.map_fn = map_fn
+
+    def _shard_iter(self, rng: random.Random) -> Iterator[str]:
+        if self.resample:
+            while True:
+                yield rng.choice(self.shards)
+        else:
+            order = list(self.shards)
+            rng.shuffle(order)
+            yield from order
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        rng = random.Random(self.seed if self.deterministic else None)
+
+        def raw():
+            for shard in self._shard_iter(rng):
+                try:
+                    yield from tar_samples(shard)
+                except Exception as e:  # noqa: BLE001
+                    logger.warning("shard %s failed: %r -- skipping", shard, e)
+
+        for sample in shuffled(raw(), self.shuffle_bufsize,
+                               self.shuffle_initial, rng):
+            try:
+                decoded = decode_sample(sample)
+                if self.map_fn is not None:
+                    decoded = self.map_fn(decoded)
+                if decoded is not None:
+                    yield decoded
+            except Exception as e:  # noqa: BLE001
+                logger.warning("sample %s failed: %r -- skipping",
+                               sample.get("__key__"), e)

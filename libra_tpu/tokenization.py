@@ -44,6 +44,27 @@ IMG_GEN = "<img_gen>"
 # Text tokenizers
 # ---------------------------------------------------------------------------
 
+class Encoding:
+    """Single-text encoding with char->token mapping, the surface the data
+    layer's label masking needs (reference label-span construction uses HF
+    fast-tokenizer char_to_token: laion_dataset.py:178-241,
+    instruction_dataset.py:262-326)."""
+
+    def __init__(self, ids: List[int], char_spans: List[Optional[tuple]]):
+        self.ids = ids
+        self._spans = char_spans  # per token: (start, end) or None (specials)
+
+    @property
+    def length(self) -> List[int]:
+        return [len(self.ids)]
+
+    def char_to_token(self, char_index: int) -> Optional[int]:
+        for t, span in enumerate(self._spans):
+            if span is not None and span[0] <= char_index < span[1]:
+                return t
+        return None
+
+
 class SimpleTextTokenizer:
     """Minimal whitespace tokenizer with the LibraTextTokenizer surface, for
     tests and offline use. Special ids mimic LLaMA: pad=unk=0, bos=1, eos=2."""
@@ -79,14 +100,34 @@ class SimpleTextTokenizer:
         return self.vocab[w]
 
     def encode_one(self, text: str) -> List[int]:
-        ids = [self.bos_token_id] if self.add_bos_token else []
-        # split but keep <img_ph>/<img_gen> atomic
-        for tok in text.replace(IMG_PH, f" {IMG_PH} ").replace(
-                IMG_GEN, f" {IMG_GEN} ").split():
-            ids.append(self._word_id(tok))
+        return self.encode_with_spans(text).ids
+
+    def encode_with_spans(self, text: str) -> Encoding:
+        """Tokenize one string tracking each token's source char span.
+        <img_ph>/<img_gen> are atomic."""
+        import re
+        ids: List[int] = []
+        spans: List[Optional[tuple]] = []
+        if self.add_bos_token:
+            ids.append(self.bos_token_id)
+            spans.append(None)
+        pattern = re.compile(
+            r"<img_ph>|<img_gen>|\S+?(?=<img_ph>|<img_gen>)|\S+")
+        for m in pattern.finditer(text):
+            ids.append(self._word_id(m.group(0)))
+            spans.append((m.start(), m.end()))
+        # stretch spans to cover inter-token whitespace (HF char_to_token
+        # maps a whitespace char to the following token)
+        for i in range(1, len(spans)):
+            if spans[i] is None or spans[i - 1] is None:
+                continue
+            prev_end = spans[i - 1][1]
+            if spans[i][0] > prev_end:
+                spans[i] = (prev_end, spans[i][1])
         if self.add_eos_token:
             ids.append(self.eos_token_id)
-        return ids
+            spans.append(None)
+        return Encoding(ids, spans)
 
     def __call__(self, texts: Sequence[str], padding="longest",
                  **kw) -> Dict[str, np.ndarray]:
@@ -142,6 +183,21 @@ class HFTextTokenizer:
         kw.setdefault("return_length", True)
         out = self.tok(list(texts), **kw)
         return {k: np.asarray(v) for k, v in out.items()}
+
+    def encode_with_spans(self, text: str):
+        """Delegate char_to_token to the HF fast encoding (exact reference
+        semantics)."""
+        enc = self.tok(text)
+
+        class _HFEncoding:
+            ids = enc["input_ids"]
+            length = [len(enc["input_ids"])]
+
+            @staticmethod
+            def char_to_token(char_index: int):
+                return enc.char_to_token(char_index)
+
+        return _HFEncoding()
 
     def decode(self, ids, **kw):
         return self.tok.decode(ids, **kw)
