@@ -39,6 +39,7 @@ class GenerationConfig:
     eos_token_id: int = 2
     pad_token_id: int = 0
     prompt_bucket: int = 0   # 0 = pad prompt to exact length (one jit per len)
+    attn_impl: str = "auto"  # "auto" | "xla" | "pallas" (prefill kernel)
 
 
 def _filter_top_k(logits: jax.Array, k: int) -> jax.Array:
@@ -95,11 +96,16 @@ def _generate_impl(params, input_ids, attention_mask, vision_indices,
     Mv = cfg.max_vision_token_length
     S = N + gen.max_new_tokens
 
+    impl = gen.attn_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+
     cache = M.init_cache(cfg, B, S)
     mask_buf = jnp.zeros((B, S), jnp.int32).at[:, :N].set(attention_mask)
     pos = M.position_ids_from_mask(attention_mask)
     out = M.forward(params, cfg, input_ids, mask_buf, vision_indices,
-                    contiguous_signal, position_ids=pos, cache=cache)
+                    contiguous_signal, position_ids=pos, cache=cache,
+                    attn_impl=impl)
 
     flag_last = vision_indices[:, -1] < Mv
     vi_last = vision_indices[:, -1]

@@ -284,9 +284,17 @@ def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
     return x.reshape(B, N, num_heads, D // num_heads)
 
 
+def _choose_block_q(nq: int) -> Optional[int]:
+    """Largest power-of-two q-block <= 256 dividing nq (None: no clean fit)."""
+    for b in (256, 128, 64, 32, 16, 8):
+        if nq % b == 0:
+            return b
+    return nq if nq <= 8 else None
+
+
 def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
                cos, sin, position_ids, bias, kv_flag,
-               cache_slice) -> Tuple[jax.Array, Any]:
+               cache_slice, attn_impl: str = "xla") -> Tuple[jax.Array, Any]:
     """Routed attention with bridge. h is the (routed-)normed input.
 
     cache_slice: None (no cache) or per-layer dict of (B, S, H, d) buffers
@@ -332,8 +340,14 @@ def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
             new_cache.update({"kb": ckb, "vb": cvb})
             kb, vb = ckb, cvb
 
-    out = bridged_attention(AttentionInputs(q, k, v, kb, vb),
-                            flag, kv_flag, bias)
+    block_q = _choose_block_q(q.shape[1]) if attn_impl == "pallas" else None
+    if block_q is not None:
+        from libra_tpu.ops.pallas.flash_bridge import flash_bridged_attention
+        out = flash_bridged_attention(q, k, v, kb, vb, flag, kv_flag,
+                                      bias, block_q=block_q)
+    else:
+        out = bridged_attention(AttentionInputs(q, k, v, kb, vb),
+                                flag, kv_flag, bias)
     out = out.reshape(h.shape[0], h.shape[1], cfg.hidden_size)
     vo = a["vision_o"]
     out = routed_linear(out, flag, a["o_proj"], vo["wa"], vo["wb"], am)
@@ -359,7 +373,7 @@ def _mlp(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array) -> jax.Arra
 
 def decoder_layer(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
                   cos, sin, position_ids, bias, kv_flag,
-                  cache_slice) -> Tuple[jax.Array, Any]:
+                  cache_slice, attn_impl: str = "xla") -> Tuple[jax.Array, Any]:
     """One pre-norm decoder layer with separate vision RMSNorms
     (reference: LibraDecoderLayer, modeling_libra.py:416-491)."""
     eps = cfg.rms_norm_eps
@@ -367,7 +381,8 @@ def decoder_layer(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
                         rms_norm(h, p["vision_input_layernorm"], eps),
                         rms_norm(h, p["input_layernorm"], eps))
     attn_out, new_cache = _attention(p, cfg, hn, flag, cos, sin,
-                                     position_ids, bias, kv_flag, cache_slice)
+                                     position_ids, bias, kv_flag, cache_slice,
+                                     attn_impl)
     h = h + attn_out
     hn2 = select_by_flag(flag,
                          rms_norm(h, p["vision_post_attention_layernorm"], eps),
@@ -390,7 +405,8 @@ def forward(params: Params, cfg: LibraConfig, input_ids: jax.Array,
             contiguous_signal: Optional[jax.Array] = None,
             position_ids: Optional[jax.Array] = None,
             cache: Optional[KVCache] = None,
-            remat: bool = False) -> ModelOutput:
+            remat: bool = False,
+            attn_impl: str = "xla") -> ModelOutput:
     """Backbone forward (reference: LibraModel.forward, modeling_libra.py:680-831).
 
     input_ids: (Q, B, N) combined-vocab ids.
@@ -436,7 +452,8 @@ def forward(params: Params, cfg: LibraConfig, input_ids: jax.Array,
             p, c = xs
             cache_slice = dict(c, index=cache.index)
         new_h, new_c = decoder_layer(p, cfg, carry_h, flag, cos, sin,
-                                     position_ids, bias, kv_flag, cache_slice)
+                                     position_ids, bias, kv_flag, cache_slice,
+                                     attn_impl)
         return new_h, new_c
 
     if remat:
