@@ -80,11 +80,17 @@ class GenerateResult(NamedTuple):
 
 
 def _last_position_logits(params, cfg: LibraConfig, hidden: jax.Array,
-                          flag_last: jax.Array, vi_last: jax.Array):
-    """Combined-vocab logits for the last position of `hidden` (B, N, D)."""
+                          flag_last: jax.Array, vi_last: jax.Array,
+                          h_up: Optional[jax.Array] = None):
+    """Combined-vocab logits for the last position of `hidden` (B, N, D).
+    h_up: (B, D) hidden from R-1 steps back (2D prediction mode only)."""
     h = hidden[:, -1:]
     tl = M.compute_text_logits(params, h)
-    vl = M.compute_vision_logits(params, h)
+    if cfg.vision_prediction_mode == "2d":
+        vl = M.compute_vision_logits_2d(params, cfg, h, vi_last[:, None],
+                                        h_up=h_up[:, None])
+    else:
+        vl = M.compute_vision_logits(params, h)
     logits = M.assemble_logits(cfg, tl, vl, flag_last[:, None])[:, :, 0]
     return M.force_eoi_newline(cfg, logits, vi_last)       # (Q, B, Vc)
 
@@ -109,19 +115,36 @@ def _generate_impl(params, input_ids, attention_mask, vision_indices,
 
     flag_last = vision_indices[:, -1] < Mv
     vi_last = vision_indices[:, -1]
+
+    # 2D prediction mode: ring buffer of the last R-1 hiddens so the "up"
+    # neighbour (R-1 steps back) is available during decode -- replaces the
+    # reference's full past_hidden_states carry (modeling_libra.py:1147-1156)
+    is_2d = cfg.vision_prediction_mode == "2d"
+    Rb = max(cfg.image_feature_resolution - 1, 1)
+    if is_2d:
+        hist = out.hidden_states[:, -Rb:]          # (B, Rb, D)
+        # up for the LAST prompt position: h[N-1-(R-1)]
+        idx = max(out.hidden_states.shape[1] - 1 - Rb, 0)
+        h_up_last = out.hidden_states[:, idx]
+    else:
+        hist = jnp.zeros((B, Rb, out.hidden_states.shape[-1]),
+                         out.hidden_states.dtype)
+        h_up_last = hist[:, 0]
+
     logits = _last_position_logits(params, cfg, out.hidden_states,
-                                   flag_last, vi_last)
+                                   flag_last, vi_last, h_up=h_up_last)
 
     tokens = jnp.zeros((Q, B, S), input_ids.dtype).at[:, :, :N].set(input_ids)
     last_pos = pos[:, -1]
 
     def cond(state):
-        t, _, _, _, _, _, _, _, finished, _ = state
+        t = state[0]
+        finished = state[8]
         return (t < gen.max_new_tokens) & ~jnp.all(finished)
 
     def body(state):
         (t, tokens, mask_buf, cache, logits, vi_last, last_pos, rng,
-         finished, num_gen) = state
+         finished, num_gen, hist) = state
         rng, step_rng = jax.random.split(rng)
         next_tok = sample_tokens(logits, gen, step_rng)          # (Q, B)
         next_tok = jnp.where(finished[None, :], gen.pad_token_id, next_tok)
@@ -144,15 +167,19 @@ def _generate_impl(params, input_ids, attention_mask, vision_indices,
         step = M.forward(params, cfg, next_tok[:, :, None], mask_buf,
                          vi_new[:, None], None,
                          position_ids=new_pos[:, None], cache=cache)
+        h_up = hist[:, 0]   # hidden from R-1 steps back
         logits = _last_position_logits(params, cfg, step.hidden_states,
-                                       vi_new < Mv, vi_new)
+                                       vi_new < Mv, vi_new, h_up=h_up)
+        new_hist = jnp.concatenate(
+            [hist[:, 1:], step.hidden_states], axis=1) if is_2d else hist
         return (t + 1, tokens, mask_buf, step.cache, logits, vi_new,
-                new_pos, rng, finished, num_gen)
+                new_pos, rng, finished, num_gen, new_hist)
 
     init = (jnp.int32(0), tokens, mask_buf, out.cache, logits, vi_last,
-            last_pos, rng, jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32))
-    (t, tokens, _, _, _, _, _, _, finished, num_gen) = jax.lax.while_loop(
-        cond, body, init)
+            last_pos, rng, jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32),
+            hist)
+    final = jax.lax.while_loop(cond, body, init)
+    tokens, num_gen = final[1], final[9]
     return GenerateResult(sequences=tokens, num_generated=num_gen)
 
 

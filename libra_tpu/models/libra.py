@@ -494,6 +494,53 @@ def compute_vision_logits(params: Params, h: jax.Array) -> jax.Array:
                       params["vision_lm_head"].astype(h.dtype))
 
 
+def compute_vision_logits_2d(params: Params, cfg: LibraConfig, h: jax.Array,
+                             vision_indices: jax.Array,
+                             h_up: Optional[jax.Array] = None) -> jax.Array:
+    """(Q, B, N, Vv) through the 2D heads (input_dim = 2*hidden).
+
+    Reference (cal_vision_logits_train, modeling_libra.py:942-1014) builds
+    an augmented (R+1)x(R+1) map per image and gathers up/left neighbours.
+    Because image blocks are contiguous 578-token runs, that reduces to a
+    pure masked-shift form: for the entry at vision_index i (predicting
+    grid cell c=i when i<=575, row-major, R columns):
+      * up(c)  = h[t-(R-1)] when c >= R else placeholder (the cell directly
+        above sits R-1 sequence steps back from the entry position);
+      * left(c) = h[t] itself when c==0 (BOI) or c%R != 0, else placeholder;
+      * entries at i in {576, 577} (predict-EOI and EOI padding) use
+        (h[t], placeholder) -- note the flipped concat order, faithfully
+        preserved (reference lines 975-987 put the left-hidden first).
+
+    This removes the reference's dynamic-shape expand-to-complete-image
+    inference path (modeling_libra.py:906-940) entirely: decode only needs
+    an (R-1)-deep ring of past hiddens supplied via h_up.
+    """
+    R = cfg.image_feature_resolution
+    Mv = cfg.max_vision_token_length
+    vi = vision_indices
+    ph = jnp.broadcast_to(
+        params["vision_hidden_placeholder"].astype(h.dtype), h.shape)
+    if h_up is None:
+        shift = R - 1
+        h_up_src = jnp.pad(h, ((0, 0), (shift, 0), (0, 0)))[:, :h.shape[1]]
+    else:
+        h_up_src = h_up.astype(h.dtype)
+
+    c = vi  # predicted cell index for entries with vi <= Mv-3
+    is_grid_entry = vi <= Mv - 3                    # 0..575
+    up_valid = is_grid_entry & (c >= R)
+    left_valid = is_grid_entry & ((c == 0) | (c % R != 0))
+
+    up = jnp.where(up_valid[..., None], h_up_src, ph)
+    left = jnp.where(left_valid[..., None], h, ph)
+    tail = vi >= Mv - 2                             # 576 (pre-EOI) and 577
+    first = jnp.where(tail[..., None], h, up)
+    second = jnp.where(tail[..., None], ph, left)
+    inp = jnp.concatenate([first, second], axis=-1)  # (B, N, 2D)
+    return jnp.einsum("bnd,qdv->qbnv", inp,
+                      params["vision_lm_head"].astype(h.dtype))
+
+
 def assemble_logits(cfg: LibraConfig, text_logits: jax.Array,
                     vision_logits: jax.Array, flag: jax.Array) -> jax.Array:
     """Assemble (Q, B, N, V + Vv) combined logits with -inf placeholders on
@@ -510,7 +557,7 @@ def assemble_logits(cfg: LibraConfig, text_logits: jax.Array,
 
 def multicodebook_loss(cfg: LibraConfig, text_logits: jax.Array,
                        vision_logits: jax.Array, flag: jax.Array,
-                       labels: jax.Array) -> jax.Array:
+                       labels: jax.Array, unified: bool = False) -> jax.Array:
     """Per-codebook shifted CE over the combined vocab, averaged over
     codebooks (reference: modeling_libra.py:1159-1174).
 
@@ -518,6 +565,10 @@ def multicodebook_loss(cfg: LibraConfig, text_logits: jax.Array,
     placeholder structure: for a language position the combined softmax
     reduces to softmax over the text slice, and vice versa -- so we never
     materialise (Q, B, N, 32514).
+
+    unified=True: the unified_head training variant (modeling_libra.py:
+    1054-1064) has NO placeholders at train time -- the softmax runs over
+    the real concatenation of both slices at every position.
     """
     V = cfg.vocab_size
     tl = text_logits.astype(jnp.float32)
@@ -540,13 +591,19 @@ def multicodebook_loss(cfg: LibraConfig, text_logits: jax.Array,
             vl[q][:, :-1],
             jnp.clip(lab_safe - V, 0, cfg.vision_vocab_size - 1)[..., None],
             axis=-1)[..., 0]
-        # position modality picks the head; a cross-modal label means the
-        # reference would produce a -inf logit (infinite loss) -- such labels
-        # are masked by the data layer; we guard with a large penalty.
-        logit = jnp.where(shift_flag, v_gather, t_gather)
-        modality_ok = jnp.where(shift_flag, ~is_text_label, is_text_label)
-        logit = jnp.where(modality_ok, logit, BIG_NEG)
-        lse = jnp.where(shift_flag, lse_vis[q][:, :-1], lse_text[:, :-1])
+        if unified:
+            # real combined softmax at every position
+            logit = jnp.where(is_text_label, t_gather, v_gather)
+            lse = jnp.logaddexp(lse_text[:, :-1], lse_vis[q][:, :-1])
+        else:
+            # position modality picks the head; a cross-modal label means
+            # the reference would produce a -inf logit (infinite loss) --
+            # such labels are masked by the data layer; we guard with a
+            # large penalty.
+            logit = jnp.where(shift_flag, v_gather, t_gather)
+            modality_ok = jnp.where(shift_flag, ~is_text_label, is_text_label)
+            logit = jnp.where(modality_ok, logit, BIG_NEG)
+            lse = jnp.where(shift_flag, lse_vis[q][:, :-1], lse_text[:, :-1])
         nll = (lse - logit) * valid
         denom = jnp.maximum(jnp.sum(valid), 1)
         total = total + jnp.sum(nll) / denom

@@ -53,8 +53,13 @@ def loss_fn(params: Any, cfg: LibraConfig, batch: Dict[str, Any],
                     remat=remat)
     flag = batch["vision_indices"] < cfg.max_vision_token_length
     tl = M.compute_text_logits(params, out.hidden_states)
-    vl = M.compute_vision_logits(params, out.hidden_states)
-    return M.multicodebook_loss(cfg, tl, vl, flag, batch["labels"])
+    if cfg.vision_prediction_mode == "2d":
+        vl = M.compute_vision_logits_2d(params, cfg, out.hidden_states,
+                                        batch["vision_indices"])
+    else:
+        vl = M.compute_vision_logits(params, out.hidden_states)
+    return M.multicodebook_loss(cfg, tl, vl, flag, batch["labels"],
+                                unified=cfg.unified_head)
 
 
 def train_step(state: TrainState, batch: Dict[str, Any], *,
