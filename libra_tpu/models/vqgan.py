@@ -189,6 +189,79 @@ def decoder_forward(params: Params, cfg: VQGANConfig, z: jax.Array) -> jax.Array
 
 
 # ---------------------------------------------------------------------------
+# Conv encoder (taming Encoder; used when encoder_name != "clip")
+# ---------------------------------------------------------------------------
+
+def encoder_plan(cfg: VQGANConfig):
+    """Static structure of the taming Encoder downsampling stack
+    (reference: model.py:380-442)."""
+    n_lev = len(cfg.ch_mult)
+    in_ch_mult = (1,) + tuple(cfg.ch_mult)
+    curr_res = cfg.resolution
+    levels = []
+    for i_level in range(n_lev):
+        block_in = cfg.ch * in_ch_mult[i_level]
+        block_out = cfg.ch * cfg.ch_mult[i_level]
+        has_attn = curr_res in cfg.attn_resolutions
+        has_down = i_level != n_lev - 1
+        if has_down:
+            curr_res //= 2
+        levels.append(dict(block_in=block_in, block_out=block_out,
+                           has_attn=has_attn, has_down=has_down))
+    return levels, cfg.ch * cfg.ch_mult[-1]
+
+
+def init_encoder_params(key, cfg: VQGANConfig, in_channels: int = 3) -> Params:
+    keys = iter(jax.random.split(key, 256))
+    nk = lambda: next(keys)
+    levels, final_ch = encoder_plan(cfg)
+    p: Params = {
+        "conv_in": _conv_init(nk(), 3, 3, in_channels, cfg.ch),
+        "down": [],
+        "mid_block_1": _resnet_init(nk(), final_ch, final_ch),
+        "mid_attn_1": _attn_init(nk(), final_ch),
+        "mid_block_2": _resnet_init(nk(), final_ch, final_ch),
+        "norm_out": _gn_init(final_ch),
+        "conv_out": _conv_init(nk(), 3, 3, final_ch, cfg.z_channels),
+    }
+    for lev in levels:
+        cin = lev["block_in"]
+        entry: Params = {"block": [], "attn": []}
+        for _ in range(cfg.num_res_blocks):
+            entry["block"].append(_resnet_init(nk(), cin, lev["block_out"]))
+            cin = lev["block_out"]
+            if lev["has_attn"]:
+                entry["attn"].append(_attn_init(nk(), cin))
+        if lev["has_down"]:
+            entry["downsample_conv"] = _conv_init(nk(), 3, 3, cin, cin)
+        p["down"].append(entry)
+    return p
+
+
+def encoder_forward(params: Params, cfg: VQGANConfig,
+                    pixels: jax.Array) -> jax.Array:
+    """pixels (B, S, S, C) -> latents (B, s, s, z_channels). Mirrors
+    Encoder.forward (reference: model.py:444-471); Downsample uses the
+    torch asymmetric (0,1,0,1) pad + stride-2 valid conv."""
+    levels, _ = encoder_plan(cfg)
+    h = conv2d(pixels, **params["conv_in"])
+    for entry, lev in zip(params["down"], levels):
+        for i_block in range(cfg.num_res_blocks):
+            h = _resnet_block(entry["block"][i_block], h)
+            if lev["has_attn"]:
+                h = _attn_block(entry["attn"][i_block], h, cfg.attn_num_heads)
+        if lev["has_down"]:
+            hp = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            h = conv2d(hp, **entry["downsample_conv"], stride=2,
+                       padding="VALID")
+    h = _resnet_block(params["mid_block_1"], h)
+    h = _attn_block(params["mid_attn_1"], h, cfg.attn_num_heads)
+    h = _resnet_block(params["mid_block_2"], h)
+    h = swish(group_norm(h, **params["norm_out"]))
+    return conv2d(h, **params["conv_out"])
+
+
+# ---------------------------------------------------------------------------
 # VQModel API
 # ---------------------------------------------------------------------------
 
