@@ -43,7 +43,13 @@ class LaionDataset(PairSampleBuilder):
         self._rng = random.Random(seed)
 
         bufsize, initial = (20000, 5000) if large_init else (5000, 1000)
-        self.stream = ShardStream(
+        use_native = kwargs.get("native_reader", True)
+        stream_cls = ShardStream
+        if use_native:
+            from libra_tpu import runtime
+            if runtime.native_available():
+                stream_cls = runtime.NativeShardStream
+        self.stream = stream_cls(
             location, shuffle_bufsize=bufsize, shuffle_initial=initial,
             seed=seed, deterministic=deterministic,
             map_fn=self.post_process)
