@@ -1,0 +1,153 @@
+"""High-level inference pipeline -- the demo-notebook surface
+(reference: demo/libra_demo.ipynb) as a library API.
+
+    pipe = LibraPipeline.from_pretrained("/path/to/libra-11b-chat")
+    out = pipe.chat("What is in this image?", images=[pil_image])
+    img = pipe.generate_image("a watercolor fox")
+
+Covers: v1 conversation prompt assembly with the 578-token image
+placeholder block, left-padded batched generation with KV cache, and
+joint text+image decode.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from libra_tpu.config import LibraConfig, VQGANConfig
+from libra_tpu.data import conversation as conv_lib
+from libra_tpu.data.caption_format import IMG_PH
+from libra_tpu.data.processors import LibraEvalImageProcessor
+from libra_tpu.generation import GenerationConfig, Generator
+from libra_tpu.tokenization import IMG_GEN, LibraTokenizer
+
+
+def process_prompt(question: str, num_img_tokens: int = 578,
+                   template: str = "v1", with_image: bool = True,
+                   history: Optional[List[Dict[str, str]]] = None) -> str:
+    """Build a v1 chat prompt with the image block prepended to the first
+    user turn (reference: demo cell 4 + instruction preprocessing)."""
+    conv = conv_lib.conv_templates[template].copy()
+    first_user = question
+    if with_image:
+        ph = (" " + IMG_PH) * num_img_tokens
+        first_user = ph.strip() + "\n" + question
+    if history:
+        msgs = list(history)
+    else:
+        msgs = []
+    conv.append_message(conv.roles[0], first_user)
+    for turn in msgs:
+        conv.append_message(conv.roles[0] if turn.get("role") == "user"
+                            else conv.roles[1], turn["content"])
+    conv.append_message(conv.roles[1], None)   # generation cue "ASSISTANT:"
+    return conv.get_prompt()
+
+
+def t2i_prompt(caption: str) -> str:
+    """Text-to-image prompt ending in <img_gen> (becomes BOI with
+    vision_index 0; reference: tokenization_libra.py:253-254, 275)."""
+    return caption.strip() + "\n " + IMG_GEN
+
+
+@dataclass
+class LibraPipeline:
+    cfg: LibraConfig
+    params: Any
+    tokenizer: LibraTokenizer
+    image_processor: Any = None
+    generator: Generator = field(init=False)
+
+    def __post_init__(self):
+        self.generator = Generator(self.params, self.cfg)
+        if self.image_processor is None:
+            self.image_processor = LibraEvalImageProcessor()
+
+    # -- loading ------------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(cls, path: str) -> "LibraPipeline":
+        from libra_tpu import checkpoint as ckpt
+        from libra_tpu.models import libra as M  # noqa: F401
+        from libra_tpu.tokenization import HFTextTokenizer, ImageTokenizer
+
+        cfg = LibraConfig.from_pretrained(path)
+        sd = ckpt.load_torch_state_dict(path)
+        params = ckpt.convert_libra_state_dict(sd, cfg)
+        text_tok = HFTextTokenizer(path)
+        vq_cfg = VQGANConfig()
+        import os
+        vq_sd = ckpt.load_torch_state_dict(os.path.join(path, "vqgan.ckpt"))
+        vq_params = ckpt.convert_vqgan_state_dict(vq_sd, vq_cfg)
+        img_tok = ImageTokenizer(vq_cfg, vq_params, token_offset=cfg.vocab_size,
+                                 max_vision_token_length=cfg.max_vision_token_length)
+        return cls(cfg, params, LibraTokenizer(text_tok, img_tok))
+
+    # -- inference ----------------------------------------------------------
+
+    def _tokenize(self, prompts: Sequence[str], images) -> Dict[str, Any]:
+        tok = self.tokenizer
+        old_side = getattr(tok.text_tokenizer, "padding_side", "right")
+        tok.text_tokenizer.padding_side = "left"  # batched generation
+        try:
+            sample: Dict[str, Any] = {"language": list(prompts)}
+            if images:
+                sample["vision"] = [np.asarray(self.image_processor(im))
+                                    for im in images]
+            return tok([sample])
+        finally:
+            tok.text_tokenizer.padding_side = old_side
+
+    def chat(self, questions, images=None, max_new_tokens: int = 512,
+             temperature: float = 0.0, template: str = "v1",
+             rng: Optional[jax.Array] = None) -> List[str]:
+        """Single- or batched single-image VQA / captioning. Greedy when
+        temperature == 0 (demo default: greedy, 512 new tokens)."""
+        if isinstance(questions, str):
+            questions = [questions]
+        prompts = [process_prompt(q, self.cfg.max_vision_token_length,
+                                  template, with_image=images is not None)
+                   for q in questions]
+        inputs = self._tokenize(prompts, images)
+        gen = GenerationConfig(
+            max_new_tokens=max_new_tokens,
+            do_sample=temperature > 0, temperature=max(temperature, 1e-5),
+            eos_token_id=self.tokenizer.text_tokenizer.eos_token_id,
+            pad_token_id=self.tokenizer.text_tokenizer.pad_token_id)
+        res = self.generator(inputs, gen, rng=rng)
+        N = np.asarray(inputs["input_ids"]).shape[-1]
+        outs = []
+        seqs = np.asarray(res.sequences)
+        for b in range(seqs.shape[1]):
+            n_new = int(res.num_generated[b])
+            ids = seqs[0, b, N:N + n_new]
+            ids = ids[ids != gen.pad_token_id]
+            outs.append(self.tokenizer.text_tokenizer.decode(
+                ids.tolist(), skip_special_tokens=True))
+        return outs
+
+    def generate_image(self, caption: str, temperature: float = 1.0,
+                       top_k: int = 100,
+                       rng: Optional[jax.Array] = None):
+        """Text-to-image: sample one full image block and decode to pixels."""
+        inputs = self._tokenize([t2i_prompt(caption)], images=None)
+        Mv = self.cfg.max_vision_token_length
+        gen = GenerationConfig(
+            max_new_tokens=Mv, do_sample=temperature > 0,
+            temperature=max(temperature, 1e-5), top_k=top_k,
+            eos_token_id=self.tokenizer.text_tokenizer.eos_token_id,
+            pad_token_id=self.tokenizer.text_tokenizer.pad_token_id)
+        res = self.generator(inputs, gen,
+                             rng=rng if rng is not None else jax.random.PRNGKey(0))
+        N = np.asarray(inputs["input_ids"]).shape[-1]
+        seq = np.asarray(res.sequences)
+        # prompt ends at BOI; generated vi 1..Mv-1 complete the block
+        block = np.concatenate([seq[:, 0, N - 1:N], seq[:, 0, N:N + Mv - 1]],
+                               axis=-1)   # (Q, Mv)
+        decoded = self.tokenizer.image_tokenizer.decode(
+            [[block[q].tolist() for q in range(block.shape[0])]])
+        return None if decoded is None else np.asarray(decoded[0])

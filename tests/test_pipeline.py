@@ -1,0 +1,57 @@
+"""High-level pipeline tests on tiny random models."""
+
+import jax
+import numpy as np
+import pytest
+
+from libra_tpu.config import CLIPVisionConfig, LibraConfig, VQGANConfig
+from libra_tpu.data.caption_format import IMG_PH
+from libra_tpu.models import libra as M, vqgan as vqgan_model
+from libra_tpu.pipeline import LibraPipeline, process_prompt, t2i_prompt
+from libra_tpu.data.processors import LibraEvalImageProcessor
+from libra_tpu.tokenization import (ImageTokenizer, LibraTokenizer,
+                                    SimpleTextTokenizer)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    cfg = LibraConfig.tiny()
+    vq_cfg = VQGANConfig.tiny()
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    vq_params = vqgan_model.init_params(jax.random.PRNGKey(1), vq_cfg)
+    text_tok = SimpleTextTokenizer(vocab_size=cfg.vocab_size)
+    img_tok = ImageTokenizer(vq_cfg, vq_params, token_offset=cfg.vocab_size,
+                             max_vision_token_length=cfg.max_vision_token_length)
+    tok = LibraTokenizer(text_tok, img_tok)
+    proc = LibraEvalImageProcessor(vq_cfg.clip)
+    return LibraPipeline(cfg, params, tok, image_processor=proc)
+
+
+def test_process_prompt_shapes():
+    p = process_prompt("what is it?", num_img_tokens=4)
+    assert p.count(IMG_PH) == 4
+    assert p.rstrip().endswith("ASSISTANT:")
+    assert "USER:" in p
+    p2 = process_prompt("hi", with_image=False)
+    assert IMG_PH not in p2
+
+
+def test_t2i_prompt():
+    assert t2i_prompt("a cat").endswith("<img_gen>")
+
+
+def test_chat_runs(pipe):
+    from PIL import Image
+    img = Image.fromarray(np.random.RandomState(0)
+                          .randint(0, 255, (40, 40, 3), np.uint8))
+    outs = pipe.chat(["describe this", "what color?"], images=[img, img],
+                     max_new_tokens=4)
+    assert len(outs) == 2
+    assert all(isinstance(o, str) for o in outs)
+
+
+def test_generate_image(pipe):
+    img = pipe.generate_image("a tiny cat", temperature=0.0)
+    assert img is not None
+    assert img.shape[-1] == 3
+    assert img.shape[0] == pipe.tokenizer.image_tokenizer.cfg.resolution
