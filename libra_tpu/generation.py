@@ -108,7 +108,18 @@ def _generate_impl(params, input_ids, attention_mask, vision_indices,
 
     cache = M.init_cache(cfg, B, S)
     mask_buf = jnp.zeros((B, S), jnp.int32).at[:, :N].set(attention_mask)
-    pos = M.position_ids_from_mask(attention_mask)
+    if cfg.use_2d_rope:
+        # (B, 2, N) row/col positions (reference: get_2d_position_ids;
+        # decode advances a carried base counter instead of re-deriving)
+        pos = M.get_2d_position_ids(cfg, vision_indices, attention_mask)
+        offset_tab = M.make_2d_pos_offset(cfg)
+        base_last = (pos[:, 0, -1]
+                     - offset_tab[jnp.clip(vision_indices[:, -1], 0,
+                                           Mv)][:, 0])
+    else:
+        pos = M.position_ids_from_mask(attention_mask)
+        offset_tab = None
+        base_last = None
     out = M.forward(params, cfg, input_ids, mask_buf, vision_indices,
                     contiguous_signal, position_ids=pos, cache=cache,
                     attn_impl=impl)
@@ -135,7 +146,7 @@ def _generate_impl(params, input_ids, attention_mask, vision_indices,
                                    flag_last, vi_last, h_up=h_up_last)
 
     tokens = jnp.zeros((Q, B, S), input_ids.dtype).at[:, :, :N].set(input_ids)
-    last_pos = pos[:, -1]
+    last_pos = base_last if cfg.use_2d_rope else pos[:, -1]
 
     def cond(state):
         t = state[0]
@@ -162,11 +173,21 @@ def _generate_impl(params, input_ids, attention_mask, vision_indices,
         # vision_indices auto-increment, clamped at text (reference:
         # _update_model_kwargs_for_generation, modeling_libra.py:1273-1281)
         vi_new = jnp.minimum(vi_last + 1, Mv)
-        new_pos = last_pos + 1
+        if cfg.use_2d_rope:
+            # base advances by 1 on text/BOI, R+1 on EOI, 0 inside images
+            inc = jnp.where((vi_new == Mv) | (vi_new == 0), 1, 0)
+            inc = jnp.where(vi_new == Mv - 1,
+                            cfg.image_feature_resolution + 1, inc)
+            new_pos = last_pos + inc
+            pos_ids = (new_pos[:, None]
+                       + offset_tab[jnp.clip(vi_new, 0, Mv)])[:, :, None]
+        else:
+            new_pos = last_pos + 1
+            pos_ids = new_pos[:, None]
 
         step = M.forward(params, cfg, next_tok[:, :, None], mask_buf,
                          vi_new[:, None], None,
-                         position_ids=new_pos[:, None], cache=cache)
+                         position_ids=pos_ids, cache=cache)
         h_up = hist[:, 0]   # hidden from R-1 steps back
         logits = _last_position_logits(params, cfg, step.hidden_states,
                                        vi_new < Mv, vi_new, h_up=h_up)
