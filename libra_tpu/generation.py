@@ -96,11 +96,31 @@ def _last_position_logits(params, cfg: LibraConfig, hidden: jax.Array,
 
 
 def _generate_impl(params, input_ids, attention_mask, vision_indices,
-                   contiguous_signal, rng, *, cfg: LibraConfig,
-                   gen: GenerationConfig):
+                   contiguous_signal, rng, vq_params=None, pixels=None,
+                   img_start=None, *, cfg: LibraConfig,
+                   gen: GenerationConfig, vq_cfg=None):
     Q, B, N = input_ids.shape
     Mv = cfg.max_vision_token_length
     S = N + gen.max_new_tokens
+
+    if pixels is not None:
+        # fused vision path: CLIP+VQGAN encode runs INSIDE this program, so
+        # XLA overlaps it with the decoder prefill (the north-star serving
+        # shape: encode+tokenize fully hidden behind prefill)
+        from libra_tpu.training.fused import encode_images_to_tokens
+        img_ids, img_sig = encode_images_to_tokens(vq_params, vq_cfg, cfg,
+                                                   pixels)
+
+        def scat(row, block, start):
+            return jax.lax.dynamic_update_slice(
+                row, block.astype(row.dtype),
+                (start,) + (0,) * (row.ndim - 1))
+
+        input_ids = jax.vmap(jax.vmap(scat, in_axes=(0, 0, 0)),
+                             in_axes=(0, 0, None))(input_ids, img_ids,
+                                                   img_start)
+        sig = jnp.zeros((B, N, img_sig.shape[-1]), img_sig.dtype)
+        contiguous_signal = jax.vmap(scat)(sig, img_sig, img_start)
 
     impl = gen.attn_impl
     if impl == "auto":
@@ -206,25 +226,33 @@ def _generate_impl(params, input_ids, attention_mask, vision_indices,
 
 class Generator:
     """Compiled-generation frontend. Jits one program per
-    (prompt_len_bucket, generation config) and reuses it across calls."""
+    (prompt_len_bucket, generation config) and reuses it across calls.
 
-    def __init__(self, params, cfg: LibraConfig):
+    With vq (params, cfg) supplied, inputs may carry raw "pixels" +
+    "img_start" instead of pre-encoded image ids -- the vision encode then
+    runs fused inside the same compiled program as the prefill."""
+
+    def __init__(self, params, cfg: LibraConfig, vq_params=None,
+                 vq_cfg=None):
         self.params = params
         self.cfg = cfg
+        self.vq_params = vq_params
+        self.vq_cfg = vq_cfg
         self._compiled: Dict[Any, Any] = {}
 
     def _get_fn(self, gen: GenerationConfig):
         key = gen
         if key not in self._compiled:
             self._compiled[key] = jax.jit(functools.partial(
-                _generate_impl, cfg=self.cfg, gen=gen))
+                _generate_impl, cfg=self.cfg, gen=gen, vq_cfg=self.vq_cfg))
         return self._compiled[key]
 
     def __call__(self, inputs: Dict[str, Any],
                  gen: Optional[GenerationConfig] = None,
                  rng: Optional[jax.Array] = None) -> GenerateResult:
         """inputs: dict from LibraTokenizer (input_ids (Q,B,N) LEFT-padded,
-        attention_mask, vision_indices, coninous_signal)."""
+        attention_mask, vision_indices, coninous_signal; optionally
+        pixels (B,S,S,3) + img_start (B,) for the fused vision path)."""
         gen = gen or GenerationConfig()
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         ids = jnp.asarray(inputs["input_ids"])
@@ -232,6 +260,15 @@ class Generator:
         vi = jnp.asarray(inputs["vision_indices"])
         sig = inputs.get("coninous_signal")
         sig = None if sig is None else jnp.asarray(sig)
+        pixels = inputs.get("pixels")
+        img_start = inputs.get("img_start")
+        if pixels is not None:
+            if self.vq_params is None:
+                raise ValueError("Generator needs vq_params/vq_cfg for the "
+                                 "fused vision path")
+            pixels = jnp.asarray(pixels)
+            img_start = jnp.asarray(img_start)
+            sig = None
 
         if gen.prompt_bucket > 1:
             N = ids.shape[-1]
@@ -251,4 +288,7 @@ class Generator:
                     sig = jnp.concatenate(
                         [jnp.zeros((B, pad, sig.shape[-1]), sig.dtype), sig],
                         axis=1)
-        return self._get_fn(gen)(self.params, ids, mask, vi, sig, rng)
+                if img_start is not None:
+                    img_start = img_start + pad
+        return self._get_fn(gen)(self.params, ids, mask, vi, sig, rng,
+                                 self.vq_params, pixels, img_start)
