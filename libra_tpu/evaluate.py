@@ -1,0 +1,116 @@
+"""Evaluation CLI: captioning/VQA generation over a karpathy-style split.
+
+`python -m libra_tpu.evaluate --cfg-path cfg.yaml [--options k=v]`
+
+Covers the reference's eval surfaces (SURVEY.md section 4): loss-only
+regression eval (COCO val, prediction_loss_only) and a generation eval
+that writes {image_id, caption} predictions json for external scoring
+(the reference scores through the paper's harness, not in-repo).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+from pathlib import Path
+from typing import Any, Dict, List
+
+import numpy as np
+
+
+def generate_captions(pipeline, dataset, max_samples: int = 100,
+                      question: str = "Describe the image concisely.",
+                      max_new_tokens: int = 64,
+                      batch_size: int = 8) -> List[Dict[str, Any]]:
+    """Greedy captioning over a map-style caption dataset; images are read
+    through the dataset's vis_root annotations."""
+    import os
+    from PIL import Image
+
+    preds = []
+    n = min(len(dataset.annotation), max_samples)
+    for lo in range(0, n, batch_size):
+        anns = dataset.annotation[lo:lo + batch_size]
+        images = [Image.open(os.path.join(dataset.vis_root, a["image"]))
+                  .convert("RGB") for a in anns]
+        outs = pipeline.chat([question] * len(images), images=images,
+                             max_new_tokens=max_new_tokens)
+        for a, cap in zip(anns, outs):
+            preds.append({"image_id": a.get("image_id", a["image"]),
+                          "caption": cap})
+    return preds
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("libra_tpu evaluation")
+    parser.add_argument("--cfg-path", required=True)
+    parser.add_argument("--options", nargs="*", default=None)
+    parser.add_argument("--mode", choices=["loss", "caption"],
+                        default="loss")
+    parser.add_argument("--max-samples", type=int, default=100)
+    parser.add_argument("--output", default="predictions.json")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+
+    import libra_tpu.data.builders  # noqa: F401
+    import libra_tpu.data.processors  # noqa: F401
+    from libra_tpu.data.base import concat_datasets, reorg_datasets_by_split
+    from libra_tpu.parallel import make_mesh
+    from libra_tpu.registry import registry
+    from libra_tpu.run_config import RunConfig
+    from libra_tpu.train import build_model_and_tokenizer
+    from libra_tpu.train_wrapper import LibraTrainWrapper
+
+    cfg = RunConfig(args.cfg_path, args.options)
+    libra_cfg, params, tokenizer = build_model_and_tokenizer(cfg.model_cfg)
+
+    datasets = {}
+    for name, ds_cfg in cfg.datasets_cfg.items():
+        builder = registry.get_builder_class(name)(
+            ds_cfg, tokenizer=tokenizer.text_tokenizer)
+        datasets[name] = builder.build_datasets()
+    by_split = concat_datasets(reorg_datasets_by_split(datasets))
+    eval_ds = (by_split.get("val") or by_split.get("eval")
+               or by_split.get("test") or by_split.get("train"))
+
+    if args.mode == "loss":
+        import math
+        import jax
+        from libra_tpu.training.harness import batched
+        from libra_tpu.training.trainer import Trainer
+        from libra_tpu.training.optimizer import OptimizerConfig
+        bs = cfg.run_cfg.get("per_device_train_batch_size", 8)
+        # batch must divide the data-sharding axes
+        fsdp = math.gcd(len(jax.devices()), bs)
+        mesh = make_mesh(1, fsdp, 1)
+        trainer = Trainer(libra_cfg, params, mesh, OptimizerConfig())
+        wrapper = LibraTrainWrapper(libra_cfg, tokenizer)
+        losses = []
+        it = (eval_ds[i] for i in range(len(eval_ds)))
+        for batch in batched(it, bs, eval_ds.collater):
+            arrays = wrapper.prepare_batch(batch)
+            losses.append(float(trainer._eval(
+                trainer.state, trainer.shard_batch(arrays))))
+            if len(losses) * 8 >= args.max_samples:
+                break
+        result = {"eval_loss": sum(losses) / max(1, len(losses)),
+                  "batches": len(losses)}
+        print(json.dumps(result))
+    else:
+        from libra_tpu.data.processors import LibraEvalImageProcessor
+        from libra_tpu.pipeline import LibraPipeline
+        pipe = LibraPipeline(
+            libra_cfg, params, tokenizer,
+            image_processor=LibraEvalImageProcessor(
+                tokenizer.image_tokenizer.cfg.clip))
+        preds = generate_captions(pipe, eval_ds,
+                                  max_samples=args.max_samples)
+        Path(args.output).write_text(json.dumps(preds, indent=1))
+        print(json.dumps({"predictions": len(preds),
+                          "output": args.output}))
+
+
+if __name__ == "__main__":
+    main()
