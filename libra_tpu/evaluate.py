@@ -29,9 +29,9 @@ def generate_captions(pipeline, dataset, max_samples: int = 100,
     from PIL import Image
 
     preds = []
-    n = min(len(dataset.annotation), max_samples)
-    for lo in range(0, n, batch_size):
-        anns = dataset.annotation[lo:lo + batch_size]
+    annotations = dataset.annotation[:max_samples]
+    for lo in range(0, len(annotations), batch_size):
+        anns = annotations[lo:lo + batch_size]
         images = [Image.open(os.path.join(dataset.vis_root, a["image"]))
                   .convert("RGB") for a in anns]
         outs = pipeline.chat([question] * len(images), images=images,
