@@ -85,6 +85,11 @@ def main(argv=None):
     cfg = RunConfig(args.cfg_path, args.options)
     model_cfg, run = cfg.model_cfg, cfg.run_cfg
 
+    if model_cfg.get("arch") == "debug_model":
+        # data-pipeline smoke mode (reference: build_model no_model=True)
+        _run_debug_model(cfg)
+        return
+
     libra_cfg, params, tokenizer = build_model_and_tokenizer(model_cfg)
     wrapper = tw.LibraTrainWrapper(libra_cfg, tokenizer)
     params = wrapper.change_pad_token_to_eos(params)
@@ -126,6 +131,32 @@ def main(argv=None):
         max_length=run.get("model_max_length"))
     final = harness.train()
     print(final)
+
+
+def _run_debug_model(cfg) -> None:
+    import libra_tpu.data.builders  # noqa: F401
+    import libra_tpu.data.processors  # noqa: F401
+    from libra_tpu.data.base import concat_datasets, reorg_datasets_by_split
+    from libra_tpu.registry import registry
+    from libra_tpu.tokenization import SimpleTextTokenizer
+    from libra_tpu.train_wrapper import DebugModel
+    from libra_tpu.training.harness import Prefetcher, batched
+
+    tok = SimpleTextTokenizer()
+    datasets = {}
+    for name, ds_cfg in cfg.datasets_cfg.items():
+        builder = registry.get_builder_class(name)(ds_cfg, tokenizer=tok)
+        datasets[name] = builder.build_datasets()
+    train_ds = concat_datasets(reorg_datasets_by_split(datasets))["train"]
+    model = DebugModel()
+    bs = cfg.run_cfg.get("per_device_train_batch_size", 4)
+    steps = cfg.run_cfg.get("max_steps", 5)
+    it = batched(Prefetcher(train_ds), bs, train_ds.collater)
+    for step in range(steps):
+        batch = next(it)
+        loss = model.forward(batch)
+        print({"step": step, "debug_loss": round(loss, 5),
+               "batch": len(batch["samples"]["language"])})
 
 
 if __name__ == "__main__":

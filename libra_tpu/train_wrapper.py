@@ -47,6 +47,27 @@ def build_labels(input_ids: np.ndarray, attention_mask: np.ndarray,
     return labels
 
 
+@registry.register_model("debug_model")
+class DebugModel:
+    """Stub model to exercise the data pipeline + harness loop without the
+    11B model (reference: utils/train_utils.py:51-63 / build_model
+    no_model=True)."""
+
+    def __init__(self):
+        import jax
+        import jax.numpy as jnp
+        key = jax.random.PRNGKey(0)
+        self.w = jax.random.normal(key, (100, 200)) * 0.01
+        self._step = jax.jit(
+            lambda w, x: jnp.mean((x @ w) ** 2))
+
+    def forward(self, batch: Dict[str, Any]) -> float:
+        import jax
+        n = len(batch["samples"]["language"])
+        x = jax.random.normal(jax.random.PRNGKey(n), (max(n, 1), 100))
+        return float(self._step(self.w, x))
+
+
 @registry.register_model("libra_train_wrapper")
 class LibraTrainWrapper:
     """Host-side batch preparation around the functional model."""

@@ -28,6 +28,9 @@ class OptimizerConfig:
     beta2: float = 0.99
     max_grad_norm: float = 1.0
     min_lr_ratio: float = 0.0
+    # language-side LR scaling (reference: LibraTrainer.create_optimizer
+    # honors lr_scale param groups, trainer.py:38-85)
+    llm_lr_scale: float = 1.0
     # freeze policies (reference: modeling_libra.py:1342-1369)
     frozen_language: bool = False
     freeze_vision_value: bool = False
@@ -81,18 +84,41 @@ def make_schedule(cfg: OptimizerConfig) -> optax.Schedule:
         end_value=cfg.learning_rate * cfg.min_lr_ratio)
 
 
+def _vision_mask(params: Any) -> Any:
+    vision_extra = {"signal_proj", "signal_norm", "vision_position_embedding"}
+
+    def visit(path, leaf):
+        p = _path_str(path)
+        return ("vision" in p) or ("bridge" in p) \
+            or bool(set(p.split("/")) & vision_extra)
+    return jax.tree_util.tree_map_with_path(visit, params)
+
+
 def make_optimizer(cfg: OptimizerConfig, params: Any) -> optax.GradientTransformation:
     schedule = make_schedule(cfg)
-    inner = optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2),
-        optax.add_decayed_weights(cfg.weight_decay, mask=decay_mask(params)),
-        optax.scale_by_learning_rate(schedule),
-    )
-    mask = trainable_mask(params, cfg)
-    if all(jax.tree_util.tree_leaves(mask)):
-        return inner
-    labels = jax.tree_util.tree_map(
-        lambda t: "train" if t else "frozen", mask)
+
+    def chain(lr_scale: float):
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2),
+            optax.add_decayed_weights(cfg.weight_decay,
+                                      mask=decay_mask(params)),
+            optax.scale_by_learning_rate(
+                lambda step: schedule(step) * lr_scale),
+        )
+
+    train_mask = trainable_mask(params, cfg)
+    vision = _vision_mask(params)
+    all_trainable = all(jax.tree_util.tree_leaves(train_mask))
+    if cfg.llm_lr_scale == 1.0 and all_trainable:
+        return chain(1.0)
+
+    def label(t, is_vis):
+        if not t:
+            return "frozen"
+        return "vision" if is_vis else "language"
+
+    labels = jax.tree_util.tree_map(label, train_mask, vision)
     return optax.multi_transform(
-        {"train": inner, "frozen": optax.set_to_zero()}, labels)
+        {"vision": chain(1.0), "language": chain(cfg.llm_lr_scale),
+         "frozen": optax.set_to_zero()}, labels)
