@@ -184,6 +184,55 @@ def _to_jax(tree: Any, dtype) -> Any:
 
 
 # ---------------------------------------------------------------------------
+# Meta-format LLaMA conversion
+# ---------------------------------------------------------------------------
+
+def convert_meta_llama_state_dict(sd: Dict[str, np.ndarray],
+                                  cfg) -> Dict[str, Any]:
+    """Meta consolidated.*.pth layout -> libra_tpu.models.llama tree.
+
+    Equivalent of the reference's Meta->HF converter
+    (llama/convert_llama_weight_to_hf.py): Meta stores rotary dims
+    interleaved; the GPT-NeoX layout used here (and by HF) needs wq/wk rows
+    permuted with the standard de-interleave."""
+    D = cfg.hidden_size
+    H = cfg.num_attention_heads
+    hd = D // H
+    L = cfg.num_hidden_layers
+
+    def permute(w):
+        # (D, D) rows grouped per head: interleaved pairs -> halves
+        return (np.asarray(w).reshape(H, hd // 2, 2, D)
+                .transpose(0, 2, 1, 3).reshape(D, D))
+
+    t = lambda x: np.ascontiguousarray(np.asarray(x).T)
+
+    def stack(fn):
+        per = [fn(i) for i in range(L)]
+        return {k: np.stack([p[k] for p in per]) for k in per[0]}
+
+    layers = stack(lambda i: {
+        "q_proj": t(permute(sd[f"layers.{i}.attention.wq.weight"])),
+        "k_proj": t(permute(sd[f"layers.{i}.attention.wk.weight"])),
+        "v_proj": t(sd[f"layers.{i}.attention.wv.weight"]),
+        "o_proj": t(sd[f"layers.{i}.attention.wo.weight"]),
+        "gate_proj": t(sd[f"layers.{i}.feed_forward.w1.weight"]),
+        "up_proj": t(sd[f"layers.{i}.feed_forward.w3.weight"]),
+        "down_proj": t(sd[f"layers.{i}.feed_forward.w2.weight"]),
+        "input_layernorm": np.asarray(sd[f"layers.{i}.attention_norm.weight"]),
+        "post_attention_layernorm": np.asarray(
+            sd[f"layers.{i}.ffn_norm.weight"]),
+    })
+    tree = {
+        "embed_tokens": np.asarray(sd["tok_embeddings.weight"]),
+        "layers": layers,
+        "norm": np.asarray(sd["norm.weight"]),
+        "lm_head": t(sd["output.weight"]),
+    }
+    return _to_jax(tree, cfg.params_dtype)
+
+
+# ---------------------------------------------------------------------------
 # CLIP conversion
 # ---------------------------------------------------------------------------
 

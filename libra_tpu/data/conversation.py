@@ -114,11 +114,37 @@ conv_llama_2 = Conversation(
     version="llama_2",
 )
 
+conv_vicuna_v0 = Conversation(
+    system=("A chat between a curious human and an artificial intelligence "
+            "assistant. The assistant gives helpful, detailed, and polite "
+            "answers to the human's questions."),
+    roles=("Human", "Assistant"),
+    messages=[],
+    sep_style=SeparatorStyle.SINGLE,
+    sep="###",
+    version="v0",
+)
+
+conv_mpt = Conversation(
+    system="<|im_start|>system\nA conversation between a user and an LLM-"
+           "based AI assistant.<|im_end|>",
+    roles=("<|im_start|>user\n", "<|im_start|>assistant\n"),
+    messages=[],
+    sep_style=SeparatorStyle.MPT,
+    sep="<|im_end|>",
+    version="mpt",
+)
+
 conv_templates = {
     "v1": conv_vicuna_v1,
     "vicuna_v1": conv_vicuna_v1,
+    "llava_v1": conv_vicuna_v1,
     "default": conv_vicuna_v1,
+    "v0": conv_vicuna_v0,
+    "llava_v0": conv_vicuna_v0,
     "plain": conv_plain,
     "v0_plain": conv_plain,
     "llama_2": conv_llama_2,
+    "llava_llama_2": conv_llama_2,
+    "mpt": conv_mpt,
 }

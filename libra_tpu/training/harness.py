@@ -114,12 +114,24 @@ class TrainHarness:
         self.out = Path(harness_cfg.output_dir)
         self.out.mkdir(parents=True, exist_ok=True)
         self._metrics_file = open(self.out / "metrics.jsonl", "a")
+        # tensorboard parity (reference: run report_to: tensorboard);
+        # torch's SummaryWriter is used when available, else jsonl only
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self._tb = SummaryWriter(log_dir=str(self.out / "tb"))
+        except Exception:  # noqa: BLE001
+            pass
 
     def _log(self, record: Dict[str, Any]):
         if jax.process_index() == 0:   # rank-0 logging (dist_utils parity)
             logger.info("%s", record)
             self._metrics_file.write(json.dumps(record) + "\n")
             self._metrics_file.flush()
+            if self._tb is not None and "step" in record:
+                for k, v in record.items():
+                    if k != "step" and isinstance(v, (int, float)):
+                        self._tb.add_scalar(k, v, record["step"])
 
     def _batch_iter(self) -> Iterator:
         bs = self.cfg.per_device_train_batch_size
