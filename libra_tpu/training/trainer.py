@@ -86,7 +86,11 @@ class Trainer:
     shardings and runs a single compiled train step."""
 
     def __init__(self, cfg: LibraConfig, params: Any, mesh: Mesh,
-                 opt_cfg: Optional[OptimizerConfig] = None):
+                 opt_cfg: Optional[OptimizerConfig] = None,
+                 offload_opt_state: bool = False):
+        """offload_opt_state: keep Adam moments in pinned host memory
+        (the reference's DeepSpeed ZeRO-Offload configs, SURVEY.md
+        section 2.5) -- XLA streams them over PCIe per step."""
         self.cfg = cfg
         self.mesh = mesh
         self.opt_cfg = opt_cfg or OptimizerConfig()
@@ -98,9 +102,29 @@ class Trainer:
             self.state = jax.jit(
                 functools.partial(init_state, opt=self.opt))(params)
 
-        self._step = jax.jit(
-            functools.partial(train_step, cfg=cfg, opt=self.opt),
-            donate_argnums=(0,))
+        if offload_opt_state:
+            dev_shard = jax.tree_util.tree_map(
+                lambda a: a.sharding, self.state.opt_state)
+            host_shard = jax.tree_util.tree_map(
+                lambda s: s.with_memory_kind("pinned_host"), dev_shard)
+            self.state = self.state._replace(
+                opt_state=jax.device_put(self.state.opt_state, host_shard))
+
+            def offload_step(state, batch):
+                # stream Adam moments host->device, update, stream back
+                opt_dev = jax.device_put(state.opt_state, dev_shard)
+                new_state, metrics = train_step(
+                    state._replace(opt_state=opt_dev), batch,
+                    cfg=cfg, opt=self.opt)
+                return new_state._replace(opt_state=jax.device_put(
+                    new_state.opt_state, host_shard)), metrics
+
+            # no donation: donated host buffers cannot back device outputs
+            self._step = jax.jit(offload_step)
+        else:
+            self._step = jax.jit(
+                functools.partial(train_step, cfg=cfg, opt=self.opt),
+                donate_argnums=(0,))
         self._eval = jax.jit(functools.partial(eval_step, cfg=cfg))
 
     def shard_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
