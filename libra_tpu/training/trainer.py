@@ -119,8 +119,15 @@ class Trainer:
                 return new_state._replace(opt_state=jax.device_put(
                     new_state.opt_state, host_shard)), metrics
 
-            # no donation: donated host buffers cannot back device outputs
-            self._step = jax.jit(offload_step)
+            # no donation: donated host buffers cannot back device outputs;
+            # out_shardings pins the new opt state back to host memory
+            out_state_shard = TrainState(
+                params=jax.tree_util.tree_map(lambda a: a.sharding,
+                                              self.state.params),
+                opt_state=host_shard,
+                step=self.state.step.sharding)
+            self._step = jax.jit(offload_step,
+                                 out_shardings=(out_state_shard, None))
         else:
             self._step = jax.jit(
                 functools.partial(train_step, cfg=cfg, opt=self.opt),
