@@ -105,8 +105,12 @@ class Trainer:
         if offload_opt_state:
             dev_shard = jax.tree_util.tree_map(
                 lambda a: a.sharding, self.state.opt_state)
+            # offload matrices (Adam moments); scalars/vectors stay on
+            # device (XLA SPMD rejects host-pinned side-effect scalars)
             host_shard = jax.tree_util.tree_map(
-                lambda s: s.with_memory_kind("pinned_host"), dev_shard)
+                lambda a: (a.sharding.with_memory_kind("pinned_host")
+                           if a.ndim >= 2 else a.sharding),
+                self.state.opt_state)
             self.state = self.state._replace(
                 opt_state=jax.device_put(self.state.opt_state, host_shard))
 

@@ -28,6 +28,8 @@ def test_offload_opt_state_parity():
         m_reg = t_reg.step(batch)
     np.testing.assert_allclose(float(m_off["loss"]), float(m_reg["loss"]),
                                rtol=1e-6)
-    # moments really live in host memory
-    leaf = jax.tree_util.tree_leaves(t_off.state.opt_state)[0]
-    assert leaf.sharding.memory_kind == "pinned_host"
+    # moment matrices really live in host memory
+    leaves = [l for l in jax.tree_util.tree_leaves(t_off.state.opt_state)
+              if l.ndim >= 2]
+    assert leaves and all(
+        l.sharding.memory_kind == "pinned_host" for l in leaves)
