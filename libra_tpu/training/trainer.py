@@ -102,40 +102,24 @@ class Trainer:
             self.state = jax.jit(
                 functools.partial(init_state, opt=self.opt))(params)
 
+        # ZeRO-Offload equivalent: Adam moment matrices parked in pinned
+        # host memory between steps, streamed to device around the compiled
+        # step (outside jit: current XLA rejects in-program memory
+        # annotations on partially-replicated buffers)
+        self._offload = offload_opt_state
         if offload_opt_state:
-            dev_shard = jax.tree_util.tree_map(
+            self._dev_shard = jax.tree_util.tree_map(
                 lambda a: a.sharding, self.state.opt_state)
-            # offload matrices (Adam moments); scalars/vectors stay on
-            # device (XLA SPMD rejects host-pinned side-effect scalars)
-            host_shard = jax.tree_util.tree_map(
+            self._host_shard = jax.tree_util.tree_map(
                 lambda a: (a.sharding.with_memory_kind("pinned_host")
                            if a.ndim >= 2 else a.sharding),
                 self.state.opt_state)
             self.state = self.state._replace(
-                opt_state=jax.device_put(self.state.opt_state, host_shard))
-
-            def offload_step(state, batch):
-                # stream Adam moments host->device, update, stream back
-                opt_dev = jax.device_put(state.opt_state, dev_shard)
-                new_state, metrics = train_step(
-                    state._replace(opt_state=opt_dev), batch,
-                    cfg=cfg, opt=self.opt)
-                return new_state._replace(opt_state=jax.device_put(
-                    new_state.opt_state, host_shard)), metrics
-
-            # no donation: donated host buffers cannot back device outputs;
-            # out_shardings pins the new opt state back to host memory
-            out_state_shard = TrainState(
-                params=jax.tree_util.tree_map(lambda a: a.sharding,
-                                              self.state.params),
-                opt_state=host_shard,
-                step=self.state.step.sharding)
-            self._step = jax.jit(offload_step,
-                                 out_shardings=(out_state_shard, None))
-        else:
-            self._step = jax.jit(
-                functools.partial(train_step, cfg=cfg, opt=self.opt),
-                donate_argnums=(0,))
+                opt_state=jax.device_put(self.state.opt_state,
+                                         self._host_shard))
+        self._step = jax.jit(
+            functools.partial(train_step, cfg=cfg, opt=self.opt),
+            donate_argnums=(0,))
         self._eval = jax.jit(functools.partial(eval_step, cfg=cfg))
 
     def shard_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
@@ -146,7 +130,15 @@ class Trainer:
 
     def step(self, batch: Dict[str, Any]) -> Dict[str, jax.Array]:
         with jax.set_mesh(self.mesh):
-            self.state, metrics = self._step(self.state, self.shard_batch(batch))
+            state = self.state
+            if self._offload:
+                state = state._replace(opt_state=jax.device_put(
+                    state.opt_state, self._dev_shard))
+            state, metrics = self._step(state, self.shard_batch(batch))
+            if self._offload:
+                state = state._replace(opt_state=jax.device_put(
+                    state.opt_state, self._host_shard))
+            self.state = state
         return metrics
 
     def evaluate(self, batches) -> float:
