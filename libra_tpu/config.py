@@ -265,3 +265,62 @@ class VQGANConfig:
         )
         base.update(kw)
         return cls(**base)
+
+    @classmethod
+    def from_yaml_dict(cls, d: Dict[str, Any]) -> "VQGANConfig":
+        """Build from a parsed ``vision_tokenizer_config.yaml`` dict.
+
+        Schema matches the reference checkpoint layout consumed at
+        tokenization_libra.py:148-160 / image_tokenizer.py:14-49 /
+        vqgan.py:26-75: top-level ``{ckpt_path, max_vision_token_length,
+        freeze, params: {embed_dim, codebook_size, num_codebook, ckpt_path,
+        ddconfig: {encoder_name, select_layer, z_channels, resolution,
+        initial_resolution, ch, ch_mult, num_res_blocks, attn_resolutions,
+        out_ch, dropout, norm_first, num_attn_head}}}``.
+        """
+        params = dict(d.get("params", {}))
+        dd = dict(params.get("ddconfig", {}))
+        kw: Dict[str, Any] = {}
+        for k in ("embed_dim", "codebook_size", "num_codebook"):
+            if k in params:
+                kw[k] = params[k]
+        direct = ("z_channels", "resolution", "initial_resolution", "ch",
+                  "num_res_blocks", "out_ch", "dropout", "norm_first",
+                  "select_layer")
+        for k in direct:
+            if k in dd and dd[k] is not None:
+                kw[k] = dd[k]
+        if "ch_mult" in dd:
+            kw["ch_mult"] = tuple(dd["ch_mult"])
+        if "attn_resolutions" in dd:
+            kw["attn_resolutions"] = tuple(dd["attn_resolutions"])
+        if "num_attn_head" in dd:
+            kw["attn_num_heads"] = dd["num_attn_head"]
+        if "encoder_name" in dd and dd["encoder_name"] is not None:
+            # the reference stores a path/HF-id; we only branch on the
+            # "clip" substring (vqgan.py:44-49)
+            kw["encoder_name"] = ("clip" if "clip" in str(dd["encoder_name"])
+                                  else "conv")
+        return cls(**kw)
+
+
+def load_vision_tokenizer_config(checkpoint_dir: str):
+    """Parse ``<ckpt>/vision_tokenizer_config.yaml`` shipped with reference
+    checkpoints into ``(VQGANConfig, vqgan_ckpt_path, max_vision_token_length)``.
+
+    Relative ``ckpt_path`` entries resolve against the checkpoint dir
+    (reference: tokenization_libra.py:151-158). Falls back to defaults +
+    ``<ckpt>/vqgan.ckpt`` when the YAML is absent.
+    """
+    root = Path(checkpoint_dir)
+    yaml_path = root / "vision_tokenizer_config.yaml"
+    if not yaml_path.exists():
+        return VQGANConfig(), str(root / "vqgan.ckpt"), None
+    import yaml
+    with open(yaml_path) as f:
+        d = yaml.safe_load(f) or {}
+    cfg = VQGANConfig.from_yaml_dict(d)
+    rel = d.get("ckpt_path") or (d.get("params") or {}).get("ckpt_path") \
+        or "vqgan.ckpt"
+    ckpt_path = rel if Path(rel).is_absolute() else str(root / rel)
+    return cfg, ckpt_path, d.get("max_vision_token_length")

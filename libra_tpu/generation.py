@@ -98,7 +98,8 @@ def _last_position_logits(params, cfg: LibraConfig, hidden: jax.Array,
 def _generate_impl(params, input_ids, attention_mask, vision_indices,
                    contiguous_signal, rng, vq_params=None, pixels=None,
                    img_start=None, *, cfg: LibraConfig,
-                   gen: GenerationConfig, vq_cfg=None):
+                   gen: GenerationConfig, vq_cfg=None,
+                   cache_shardings=None):
     Q, B, N = input_ids.shape
     Mv = cfg.max_vision_token_length
     S = N + gen.max_new_tokens
@@ -127,6 +128,12 @@ def _generate_impl(params, input_ids, attention_mask, vision_indices,
         impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
 
     cache = M.init_cache(cfg, B, S)
+    if cache_shardings is not None:
+        # pin the KV cache layout: heads sharded over the "model" mesh axis
+        # (decode-time KV lives distributed over ICI); the while_loop carry
+        # then keeps this placement for the whole decode
+        cache = jax.tree_util.tree_map(jax.lax.with_sharding_constraint,
+                                       cache, cache_shardings)
     mask_buf = jnp.zeros((B, S), jnp.int32).at[:, :N].set(attention_mask)
     if cfg.use_2d_rope:
         # (B, 2, N) row/col positions (reference: get_2d_position_ids;
@@ -230,21 +237,41 @@ class Generator:
 
     With vq (params, cfg) supplied, inputs may carry raw "pixels" +
     "img_start" instead of pre-encoded image ids -- the vision encode then
-    runs fused inside the same compiled program as the prefill."""
+    runs fused inside the same compiled program as the prefill.
+
+    With a `mesh`, params are tensor-parallel sharded over its "model" axis
+    (Megatron-style column/row specs from libra_tpu.parallel.sharding) and
+    the KV cache is pinned head-sharded over the same axis -- SPMD decode
+    over ICI, replacing the reference's single-GPU decode + ZeRO-3
+    synced_gpus handshake (modeling_libra_utils.py:215-223)."""
 
     def __init__(self, params, cfg: LibraConfig, vq_params=None,
-                 vq_cfg=None):
+                 vq_cfg=None, mesh=None):
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from libra_tpu.parallel.sharding import shard_params
+            params = shard_params(mesh, params)
+            if vq_params is not None:
+                # the vision tower is small (~0.4B): replicate
+                vq_params = jax.device_put(
+                    vq_params, NamedSharding(mesh, PartitionSpec()))
         self.params = params
         self.cfg = cfg
         self.vq_params = vq_params
         self.vq_cfg = vq_cfg
+        self.mesh = mesh
         self._compiled: Dict[Any, Any] = {}
 
     def _get_fn(self, gen: GenerationConfig):
         key = gen
         if key not in self._compiled:
+            cache_sh = None
+            if self.mesh is not None:
+                from libra_tpu.parallel.sharding import cache_shardings
+                cache_sh = cache_shardings(self.mesh, self.cfg)
             self._compiled[key] = jax.jit(functools.partial(
-                _generate_impl, cfg=self.cfg, gen=gen, vq_cfg=self.vq_cfg))
+                _generate_impl, cfg=self.cfg, gen=gen, vq_cfg=self.vq_cfg,
+                cache_shardings=cache_sh))
         return self._compiled[key]
 
     def __call__(self, inputs: Dict[str, Any],

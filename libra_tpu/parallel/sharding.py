@@ -98,6 +98,23 @@ def shard_params(mesh: Mesh, params: Any) -> Any:
     return jax.device_put(params, param_shardings(mesh, params))
 
 
+def cache_shardings(mesh: Mesh, cfg: LibraConfig):
+    """NamedShardings for the decode KVCache (k/v/kb/vb:
+    (L, B, S, H, head_dim)): attention heads shard over the "model" axis --
+    the decode-time KV cache lives sharded over ICI (the serving north
+    star), batch over "data". flag/index replicate (tiny)."""
+    from libra_tpu.models.libra import KVCache
+
+    kv = NamedSharding(mesh, P(None, "data", None, "model", None))
+    return KVCache(
+        k=kv, v=kv,
+        kb=kv if cfg.use_bridge else None,
+        vb=kv if cfg.use_bridge else None,
+        flag=NamedSharding(mesh, P("data", None)),
+        index=NamedSharding(mesh, P()),
+    )
+
+
 def batch_spec() -> P:
     """Batch dims shard over (data, fsdp) combined -- FSDP groups behave as
     extra data parallelism, like ZeRO."""

@@ -60,32 +60,40 @@ class LibraPipeline:
     params: Any
     tokenizer: LibraTokenizer
     image_processor: Any = None
+    mesh: Any = None   # jax.sharding.Mesh -> tensor-parallel serving
     generator: Generator = field(init=False)
 
     def __post_init__(self):
-        self.generator = Generator(self.params, self.cfg)
+        self.generator = Generator(self.params, self.cfg, mesh=self.mesh)
+        if self.mesh is not None:
+            self.params = self.generator.params   # sharded copy
         if self.image_processor is None:
             self.image_processor = LibraEvalImageProcessor()
 
     # -- loading ------------------------------------------------------------
 
     @classmethod
-    def from_pretrained(cls, path: str) -> "LibraPipeline":
+    def from_pretrained(cls, path: str, mesh=None) -> "LibraPipeline":
         from libra_tpu import checkpoint as ckpt
         from libra_tpu.models import libra as M  # noqa: F401
         from libra_tpu.tokenization import HFTextTokenizer, ImageTokenizer
+
+        from libra_tpu.config import load_vision_tokenizer_config
 
         cfg = LibraConfig.from_pretrained(path)
         sd = ckpt.load_torch_state_dict(path)
         params = ckpt.convert_libra_state_dict(sd, cfg)
         text_tok = HFTextTokenizer(path)
-        vq_cfg = VQGANConfig()
-        import os
-        vq_sd = ckpt.load_torch_state_dict(os.path.join(path, "vqgan.ckpt"))
+        vq_cfg, vq_ckpt, max_vt = load_vision_tokenizer_config(path)
+        vq_sd = ckpt.load_torch_state_dict(vq_ckpt)
         vq_params = ckpt.convert_vqgan_state_dict(vq_sd, vq_cfg)
         img_tok = ImageTokenizer(vq_cfg, vq_params, token_offset=cfg.vocab_size,
-                                 max_vision_token_length=cfg.max_vision_token_length)
-        return cls(cfg, params, LibraTokenizer(text_tok, img_tok))
+                                 max_vision_token_length=(
+                                     max_vt or cfg.max_vision_token_length),
+                                 downsample_ratio=(
+                                     ImageTokenizer.infer_downsample_ratio(
+                                         vq_ckpt)))
+        return cls(cfg, params, LibraTokenizer(text_tok, img_tok), mesh=mesh)
 
     # -- inference ----------------------------------------------------------
 

@@ -216,7 +216,8 @@ class ImageTokenizer:
     """
 
     def __init__(self, cfg: VQGANConfig, params: Dict, token_offset: int,
-                 max_vision_token_length: int = 578):
+                 max_vision_token_length: int = 578,
+                 downsample_ratio: Optional[int] = None):
         self.cfg = cfg
         self.params = params
         self.offset = token_offset
@@ -226,14 +227,40 @@ class ImageTokenizer:
         self.boi_token_id = token_offset + self.vocab_size - 2
         self.eoi_token_id = token_offset + self.vocab_size - 1
         self.max_vision_token_length = max_vision_token_length
+        self.downsample_ratio = downsample_ratio
 
         self._encode = jax.jit(functools.partial(
             vqgan_model.encode, cfg=self.cfg, training=False))
         self._decode = jax.jit(functools.partial(
             vqgan_model.decode_code, cfg=self.cfg))
 
+    @staticmethod
+    def infer_downsample_ratio(ckpt_path: str) -> Optional[int]:
+        """Conv-encoder downsample ratio from the checkpoint filename
+        (reference: image_tokenizer.py:28-35: `_f16_` / `_f8_` markers;
+        None = fixed-size CLIP encoder)."""
+        import os
+        name = os.path.basename(str(ckpt_path))
+        if "_f16_" in name and "_f8_" in name:
+            raise ValueError(f"ambiguous downsample markers in {name!r}")
+        if "_f16_" in name:
+            return 16
+        if "_f8_" in name:
+            return 8
+        return None
+
     def get_token_length(self, images=None) -> int:
-        return self.max_vision_token_length
+        """Vision tokens an image occupies (grid**2 + BOI + EOI). With a
+        conv encoder the grid follows the input resolution
+        (reference: image_tokenizer.py:62-68)."""
+        if self.downsample_ratio is None or images is None:
+            return self.max_vision_token_length
+        arr = np.asarray(images[0] if isinstance(images, (list, tuple))
+                         else images)
+        h, w = arr.shape[-3], arr.shape[-2]   # NHWC
+        if h != w:
+            raise ValueError("image tokenization requires square images")
+        return (h // self.downsample_ratio) ** 2 + 2
 
     def encode(self, pixels: jax.Array) -> Dict[str, jax.Array]:
         """pixels: (B, S, S, 3) CLIP-normalized NHWC.

@@ -23,7 +23,8 @@ def build_model_and_tokenizer(model_cfg: Dict[str, Any]):
     """Build (LibraConfig, params, LibraTokenizer) either from a pretrained
     reference checkpoint dir or from scratch off config dims."""
     from libra_tpu import checkpoint as ckpt
-    from libra_tpu.config import LibraConfig, VQGANConfig
+    from libra_tpu.config import (LibraConfig, VQGANConfig,
+                                  load_vision_tokenizer_config)
     from libra_tpu.models import libra as M, vqgan as vqgan_model
     from libra_tpu.tokenization import (HFTextTokenizer, ImageTokenizer,
                                         LibraTokenizer, SimpleTextTokenizer)
@@ -34,13 +35,16 @@ def build_model_and_tokenizer(model_cfg: Dict[str, Any]):
         sd = ckpt.load_torch_state_dict(pretrained)
         params = ckpt.convert_libra_state_dict(sd, cfg)
         text_tok = HFTextTokenizer(pretrained)
-        vq_cfg = VQGANConfig()  # TODO: parse vision_tokenizer_config.yaml
-        vq_sd = ckpt.load_torch_state_dict(
-            os.path.join(pretrained, "vqgan.ckpt"))
+        vq_cfg, vq_ckpt, max_vt = load_vision_tokenizer_config(pretrained)
+        vq_sd = ckpt.load_torch_state_dict(vq_ckpt)
         vq_params = ckpt.convert_vqgan_state_dict(vq_sd, vq_cfg)
         img_tok = ImageTokenizer(vq_cfg, vq_params,
                                  token_offset=cfg.vocab_size,
-                                 max_vision_token_length=cfg.max_vision_token_length)
+                                 max_vision_token_length=(
+                                     max_vt or cfg.max_vision_token_length),
+                                 downsample_ratio=(
+                                     ImageTokenizer.infer_downsample_ratio(
+                                         vq_ckpt)))
     else:
         cfg = LibraConfig.from_dict(model_cfg.get("config", {}) | {
             k: v for k, v in model_cfg.items()

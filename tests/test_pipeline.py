@@ -55,3 +55,49 @@ def test_generate_image(pipe):
     assert img is not None
     assert img.shape[-1] == 3
     assert img.shape[0] == pipe.tokenizer.image_tokenizer.cfg.resolution
+
+
+def test_vision_tokenizer_config_yaml(tmp_path):
+    """vision_tokenizer_config.yaml parsing matches the reference schema
+    (tokenization_libra.py:148-160, vqgan.py:26-75)."""
+    from libra_tpu.config import load_vision_tokenizer_config
+
+    yaml_text = """
+max_vision_token_length: 578
+freeze: true
+params:
+  embed_dim: 18
+  codebook_size: 512
+  num_codebook: 2
+  ckpt_path: weights/tokenizer.ckpt
+  ddconfig:
+    encoder_name: openai/clip-vit-large-patch14-336
+    select_layer: -2
+    z_channels: 18
+    resolution: 336
+    initial_resolution: 24
+    ch: 128
+    ch_mult: [1, 1, 2, 2, 4]
+    num_res_blocks: 2
+    attn_resolutions: [24]
+    out_ch: 3
+    dropout: 0.0
+    norm_first: true
+    num_attn_head: 4
+"""
+    (tmp_path / "vision_tokenizer_config.yaml").write_text(yaml_text)
+    cfg, ckpt_path, max_vt = load_vision_tokenizer_config(str(tmp_path))
+    assert max_vt == 578
+    assert ckpt_path == str(tmp_path / "weights/tokenizer.ckpt")
+    assert cfg.embed_dim == 18 and cfg.codebook_size == 512
+    assert cfg.num_codebook == 2
+    assert cfg.encoder_name == "clip" and cfg.select_layer == -2
+    assert cfg.ch_mult == (1, 1, 2, 2, 4)
+    assert cfg.attn_resolutions == (24,)
+    assert cfg.norm_first is True and cfg.attn_num_heads == 4
+    assert cfg.initial_resolution == 24 and cfg.resolution == 336
+
+    # absent YAML -> defaults + <dir>/vqgan.ckpt
+    cfg2, ckpt2, mvt2 = load_vision_tokenizer_config(str(tmp_path / "nope"))
+    assert mvt2 is None and ckpt2.endswith("vqgan.ckpt")
+    assert cfg2.embed_dim == 18

@@ -115,3 +115,29 @@ def test_frozen_params_unchanged(tiny):
     after_v = np.asarray(jax.device_get(trainer.state.params["vision_lm_head"]))
     np.testing.assert_array_equal(before, after)
     assert np.abs(after_v - before_v).max() > 0
+
+
+def test_sharded_decode_matches_single_device(tiny):
+    """Tensor-parallel generation (params + KV cache sharded over the
+    "model" axis) must emit exactly the tokens of single-device decode."""
+    from libra_tpu.generation import GenerationConfig, Generator
+    from libra_tpu.parallel.sharding import cache_shardings
+
+    cfg, params = tiny
+    ids, mask, vi, sig = make_inputs(cfg, B=2)
+    inputs = {"input_ids": ids, "attention_mask": mask,
+              "vision_indices": vi, "coninous_signal": sig}
+    gen = GenerationConfig(max_new_tokens=8, eos_token_id=-1)
+
+    ref = Generator(params, cfg)(inputs, gen)
+
+    mesh = make_mesh(data=2, fsdp=1, model=4)
+    g = Generator(params, cfg, mesh=mesh)
+    # params actually landed sharded over the model axis
+    q_sh = g.params["layers"]["attn"]["q_proj"].sharding
+    assert q_sh.spec[-1] == "model"
+    got = g(inputs, gen)
+    np.testing.assert_array_equal(np.asarray(got.sequences),
+                                  np.asarray(ref.sequences))
+    np.testing.assert_array_equal(np.asarray(got.num_generated),
+                                  np.asarray(ref.num_generated))

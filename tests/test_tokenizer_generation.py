@@ -173,3 +173,30 @@ def test_decode_roundtrip_text_and_image(stack):
     assert "hello world" in decoded[0]["language"]
     assert decoded[0]["vision"] is not None
     assert decoded[0]["vision"].shape[-1] == 3
+
+
+def test_downsample_ratio_inference():
+    """Conv-encoder downsample ratio from ckpt filename + variable token
+    length (reference: image_tokenizer.py:28-35, 62-68)."""
+    from libra_tpu.tokenization import ImageTokenizer
+
+    assert ImageTokenizer.infer_downsample_ratio("vq_f16_16384.ckpt") == 16
+    assert ImageTokenizer.infer_downsample_ratio("/x/tok_f8_v2.ckpt") == 8
+    assert ImageTokenizer.infer_downsample_ratio("vqgan.ckpt") is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ImageTokenizer.infer_downsample_ratio("vq_f16__f8_.ckpt")
+
+    import jax
+    from libra_tpu.config import VQGANConfig
+    from libra_tpu.models import vqgan as vqgan_model
+    cfg = VQGANConfig.tiny()
+    params = vqgan_model.init_params(jax.random.PRNGKey(0), cfg)
+    tok = ImageTokenizer(cfg, params, token_offset=256,
+                         max_vision_token_length=6, downsample_ratio=14)
+    img = np.zeros((1, 28, 28, 3), np.float32)
+    assert tok.get_token_length(img) == 2 * 2 + 2
+    assert tok.get_token_length(None) == 6
+    tok2 = ImageTokenizer(cfg, params, token_offset=256,
+                          max_vision_token_length=6)
+    assert tok2.get_token_length(img) == 6
