@@ -255,3 +255,47 @@ def test_2d_position_ids():
     np.testing.assert_array_equal(pos[0, :, 7], [5, 5])
     # text after EOI continues one step later
     np.testing.assert_array_equal(pos[0, :, 8], [6, 6])
+
+
+@pytest.mark.parametrize("variant", [
+    {"addition_mode": True},
+    {"concat_signals": False},
+    {"norm_signals": False},
+    {"use_vision_position_embedding": True},
+    {"unified_head": True},
+])
+def test_config_variants_cache_consistency(variant):
+    """Every config-flag variant (reference: configuration_libra.py:21-58)
+    must keep the core invariant: prefill + cached decode == full forward."""
+    cfg = LibraConfig.tiny(**variant)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    ids, mask, vi, sig = make_inputs(cfg)
+    Q, B, N = ids.shape
+    fwd = jit_forward(cfg)
+
+    full = fwd(params, ids, mask, vi, sig)
+    assert np.isfinite(np.asarray(full.hidden_states)).all()
+
+    cache = M.init_cache(cfg, B, N + 2, dtype=jnp.float32)
+    mask_buf = jnp.zeros((B, N + 2), jnp.int32).at[:, :N - 1].set(
+        mask[:, :N - 1])
+    pos = M.position_ids_from_mask(mask[:, :N - 1])
+    pre = fwd(params, ids[:, :, :N - 1], mask_buf, vi[:, :N - 1],
+              sig[:, :N - 1], position_ids=pos, cache=cache)
+    mask_buf = mask_buf.at[:, N - 1].set(mask[:, N - 1])
+    last_pos = M.position_ids_from_mask(mask)[:, -1:]
+    step = fwd(params, ids[:, :, N - 1:], mask_buf, vi[:, N - 1:],
+               sig[:, N - 1:], position_ids=last_pos, cache=pre.cache)
+    np.testing.assert_allclose(step.hidden_states[:, 0],
+                               full.hidden_states[:, -1],
+                               rtol=2e-4, atol=2e-4)
+
+    # training loss stays finite under the variant
+    flag = vi < cfg.max_vision_token_length
+    labels = jnp.where(mask[None].astype(bool), ids, -100)
+    labels = jnp.where(flag[None] != (labels >= cfg.vocab_size), -100, labels)
+    tl = M.compute_text_logits(params, full.hidden_states)
+    vl = M.compute_vision_logits(params, full.hidden_states)
+    loss = M.multicodebook_loss(cfg, tl, vl, flag, labels,
+                                unified=cfg.unified_head)
+    assert np.isfinite(float(loss))
