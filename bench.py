@@ -21,6 +21,16 @@ import time
 import numpy as np
 
 
+def _sync(x):
+    """Force completion with a real device->host readback of one element.
+
+    Under the remote-TPU (axon) tunnel, jax.block_until_ready can return
+    before the computation has actually run; fetching a value cannot."""
+    import jax
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return np.asarray(leaf).ravel()[0]
+
+
 def bench_decode(num_layers=8, B=1, text_len=32, max_new=128):
     import jax
     import jax.numpy as jnp
@@ -38,10 +48,10 @@ def bench_decode(num_layers=8, B=1, text_len=32, max_new=128):
     g = Generator(params, cfg)
 
     res = g(inputs, gen)                       # compile + run
-    jax.block_until_ready(res.sequences)
+    _sync(res.sequences)
     t0 = time.perf_counter()
     res = g(inputs, gen)
-    jax.block_until_ready(res.sequences)
+    _sync(res.sequences)
     dt = time.perf_counter() - t0
     tokens = max_new * B
     return tokens / dt, dt
@@ -53,23 +63,28 @@ def bench_vision_encode(B=8, iters=4):
 
     from libra_tpu.config import VQGANConfig
     from libra_tpu.models import vqgan as vqgan_model
+    from __graft_entry__ import fast_fill
 
     cfg = VQGANConfig()
-    params = vqgan_model.init_params(jax.random.PRNGKey(0), cfg)
+    params = fast_fill(
+        lambda: vqgan_model.init_params(jax.random.PRNGKey(0), cfg))
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         params)
+    # pin on-device once; host leaves would re-stage through the TPU
+    # tunnel on every call and dominate the measurement
+    params = jax.device_put(params)
     pixels = jnp.asarray(
         np.random.RandomState(0).randn(B, 336, 336, 3).astype(np.float32))
 
     import functools
     enc = jax.jit(functools.partial(vqgan_model.encode, cfg=cfg))
     out = enc(params, pixels=pixels.astype(jnp.bfloat16))
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = enc(params, pixels=pixels.astype(jnp.bfloat16))
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / iters
     return B / dt
 
@@ -82,16 +97,20 @@ def bench_vqa_fused(num_layers=8, B=1, text_len=32):
 
     from libra_tpu.config import VQGANConfig
     from libra_tpu.generation import GenerationConfig, Generator
-    from __graft_entry__ import _example_batch, _flagship_cfg, fast_random_params
+    from __graft_entry__ import (_example_batch, _flagship_cfg, fast_fill,
+                                 fast_random_params)
     from libra_tpu.models import vqgan as vqgan_model
 
     cfg = _flagship_cfg(num_layers)
     params = fast_random_params(cfg)
-    vq_cfg = VQGANConfig()
+    # 2-layer CLIP tap: feature dim 2*1024 == contiguous_signal_size 2048
+    # (reference: clip_encoder.py iterable select; configuration_libra.py:14)
+    vq_cfg = VQGANConfig(select_layer=(-2, -1))
     vq_params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype")
         and x.dtype == jnp.float32 else x,
-        vqgan_model.init_params(jax.random.PRNGKey(0), vq_cfg))
+        fast_fill(lambda: vqgan_model.init_params(jax.random.PRNGKey(0),
+                                                  vq_cfg)))
 
     ids, mask, vi, _ = _example_batch(cfg, B=B, text_len=text_len)
     img_start = np.full((B,), 8, np.int32)
@@ -102,36 +121,52 @@ def bench_vqa_fused(num_layers=8, B=1, text_len=32):
 
     gen1 = GenerationConfig(max_new_tokens=1, eos_token_id=-1)
     gen128 = GenerationConfig(max_new_tokens=128, eos_token_id=-1)
-    jax.block_until_ready(g(inputs, gen1).sequences)    # compile
-    jax.block_until_ready(g(inputs, gen128).sequences)  # compile
+    _sync(g(inputs, gen1).sequences)    # compile
+    _sync(g(inputs, gen128).sequences)  # compile
 
     t0 = time.perf_counter()
-    jax.block_until_ready(g(inputs, gen1).sequences)
+    _sync(g(inputs, gen1).sequences)
     ttft = time.perf_counter() - t0
     t0 = time.perf_counter()
-    jax.block_until_ready(g(inputs, gen128).sequences)
+    _sync(g(inputs, gen128).sequences)
     t128 = time.perf_counter() - t0
     tok_s = 127 * B / max(t128 - ttft, 1e-9)
     return ttft, tok_s
 
 
+def _stage(name, t0):
+    import sys
+    print(f"[bench] {name}: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+
+
 def main():
     extra = {}
+    t = time.perf_counter()
     try:
         imgs_per_s = bench_vision_encode()
         extra["vision_encode_img_s_b8"] = round(imgs_per_s, 2)
     except Exception as e:  # noqa: BLE001
         extra["vision_encode_error"] = repr(e)[:200]
+    _stage("vision_encode", t)
 
+    t = time.perf_counter()
     try:
         ttft, fused_tok_s = bench_vqa_fused()
         extra["vqa_fused_ttft_ms"] = round(ttft * 1000, 1)
         extra["vqa_fused_decode_tok_s"] = round(fused_tok_s, 2)
     except Exception as e:  # noqa: BLE001
         extra["vqa_fused_error"] = repr(e)[:200]
+    _stage("vqa_fused", t)
 
-    tok_s, dt = bench_decode()
-    extra["decode_wall_s_128tok"] = round(dt, 3)
+    t = time.perf_counter()
+    try:
+        tok_s, dt = bench_decode()
+        extra["decode_wall_s_128tok"] = round(dt, 3)
+    except Exception as e:  # noqa: BLE001
+        tok_s = 0.0
+        extra["decode_error"] = repr(e)[:200]
+    _stage("decode", t)
     print(json.dumps({
         "metric": "decode_tokens_per_sec_8layer_bf16_b1",
         "value": round(tok_s, 2),

@@ -236,9 +236,22 @@ class VQGANConfig:
     attn_num_heads: int = 1
     # encoder
     encoder_name: str = "clip"          # "clip" => CLIP tower (vqgan.py:44-49)
-    select_layer: int = -2
+    # int or tuple of ints; tuple = channel-concat of several hidden states
+    # (reference: clip_encoder.py:22-51, quant_conv in-dim vqgan.py:49)
+    select_layer: Any = -2
     clip: CLIPVisionConfig = field(default_factory=CLIPVisionConfig)
     dtype: str = "float32"
+
+    @property
+    def select_layers(self) -> Tuple[int, ...]:
+        s = self.select_layer
+        return (s,) if isinstance(s, int) else tuple(s)
+
+    @property
+    def clip_feature_dim(self) -> int:
+        """Channel dim of the tapped CLIP features (the continuous signal):
+        hidden_size x number of selected layers."""
+        return self.clip.hidden_size * len(self.select_layers)
 
     @property
     def codebook_dim(self) -> int:
@@ -290,6 +303,8 @@ class VQGANConfig:
         for k in direct:
             if k in dd and dd[k] is not None:
                 kw[k] = dd[k]
+        if isinstance(kw.get("select_layer"), list):
+            kw["select_layer"] = tuple(kw["select_layer"])
         if "ch_mult" in dd:
             kw["ch_mult"] = tuple(dd["ch_mult"])
         if "attn_resolutions" in dd:

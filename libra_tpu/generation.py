@@ -255,6 +255,14 @@ class Generator:
                 # the vision tower is small (~0.4B): replicate
                 vq_params = jax.device_put(
                     vq_params, NamedSharding(mesh, PartitionSpec()))
+        else:
+            # Pin params on-device ONCE. Host (numpy) leaves would otherwise
+            # be re-staged on EVERY call -- through the remote-TPU tunnel
+            # that is ~100s per call for an 8-layer flagship, vs ~10ms/token
+            # for the decode itself.
+            params = jax.device_put(params)
+            if vq_params is not None:
+                vq_params = jax.device_put(vq_params)
         self.params = params
         self.cfg = cfg
         self.vq_params = vq_params

@@ -114,29 +114,47 @@ def _encoder_layer(p: Params, cfg: CLIPVisionConfig, h: jax.Array) -> jax.Array:
 
 
 def forward_features(params: Params, cfg: CLIPVisionConfig,
-                     pixels: jax.Array, select_layer: int = -2,
+                     pixels: jax.Array, select_layer=-2,
                      square_output: bool = True) -> jax.Array:
-    """Run the tower up to the tapped hidden state.
+    """Run the tower up to the tapped hidden state(s).
 
     HF's hidden_states tuple has num_layers+1 entries (embeddings first), so
     hidden_states[-2] == output of layer num_layers-1, i.e. we run
-    (num_layers + select_layer + 1) layers. CLS dropped; optionally reshaped
-    to (B, g, g, D) NHWC square (reference: clip_encoder.py:31-51).
+    (num_layers + select_layer + 1) layers. `select_layer` may also be an
+    iterable of indices -- the tapped features are channel-concatenated,
+    matching CLIPVisionTower's iterable select (reference:
+    clip_encoder.py:22-51; consumed at vqgan.py:49 where quant_conv in-dim
+    is hidden_size * len(select_layer)). CLS dropped; optionally reshaped to
+    (B, g, g, C) NHWC square.
     """
     L = cfg.num_hidden_layers
-    n_run = L + select_layer + 1 if select_layer < 0 else select_layer
-    if not (0 < n_run <= L):
-        raise ValueError(f"select_layer {select_layer} out of range")
+    sel = ((select_layer,) if isinstance(select_layer, int)
+           else tuple(select_layer))
+    taps = []
+    for s in sel:
+        n = L + s + 1 if s < 0 else s
+        if not (0 < n <= L):
+            raise ValueError(f"select_layer {s} out of range")
+        taps.append(n)
 
     h = embed_patches(params, cfg, pixels)
     h = _layer_norm(h, params["pre_layernorm"], cfg.layer_norm_eps)
 
     stacked = params["layers"]
-    run_params = jax.tree_util.tree_map(lambda a: a[:n_run], stacked)
-    h, _ = jax.lax.scan(lambda c, p: (_encoder_layer(p, cfg, c), None),
-                        h, run_params)
+    n_max = max(taps)
+    run_params = jax.tree_util.tree_map(lambda a: a[:n_max], stacked)
+    if len(taps) == 1:
+        h, _ = jax.lax.scan(lambda c, p: (_encoder_layer(p, cfg, c), None),
+                            h, run_params)
+        feats = h
+    else:
+        def body(c, p):
+            nh = _encoder_layer(p, cfg, c)
+            return nh, nh
+        _, ys = jax.lax.scan(body, h, run_params)   # (n_max, B, N, D)
+        feats = jnp.concatenate([ys[n - 1] for n in taps], axis=-1)
 
-    feats = h[:, 1:]  # drop CLS ('patch' select, clip_encoder.py:39-40)
+    feats = feats[:, 1:]  # drop CLS ('patch' select, clip_encoder.py:39-40)
     if square_output:
         B, N, D = feats.shape
         g = int(N ** 0.5)

@@ -126,7 +126,7 @@ def init_decoder_params(key, cfg: VQGANConfig) -> Params:
 
 def init_params(key, cfg: VQGANConfig) -> Params:
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    clip_in = cfg.clip.hidden_size  # x len(select_layer) if iterable
+    clip_in = cfg.clip_feature_dim  # hidden x len(select_layers)
     params: Params = {
         "clip": clip_model.init_params(k1, cfg.clip),
         "quant_conv": _conv_init(k2, 1, 1, clip_in, cfg.embed_dim),
