@@ -134,6 +134,77 @@ def bench_vqa_fused(num_layers=8, B=1, text_len=32):
     return ttft, tok_s
 
 
+def _device_quantized_params(cfg):
+    """Build a full int8-quantized param tree DIRECTLY on the device:
+    shipping ~9.4 GB of host weights through the TPU tunnel would take
+    minutes; values are throughput-irrelevant.
+
+    One small compiled program PER LEAF (a single whole-tree init program
+    needs multi-GB integer temps live at once and crashes/OOMs the
+    compiler); uint8 random bits bitcast to int8, so the largest transient
+    is 2x the leaf itself."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from libra_tpu.models import libra as M
+    from libra_tpu.quantization import QuantizedArray, _leaf_axis
+
+    shapes = jax.eval_shape(lambda: M.init_params(jax.random.PRNGKey(0), cfg))
+
+    @functools.lru_cache(maxsize=None)
+    def q_init(shape):
+        return jax.jit(lambda k: jax.lax.bitcast_convert_type(
+            jax.random.bits(k, shape, jnp.uint8), jnp.int8))
+
+    @functools.lru_cache(maxsize=None)
+    def full_init(shape, dtype, value):
+        return jax.jit(lambda: jnp.full(shape, value, dtype))
+
+    key = jax.random.PRNGKey(0)
+    counter = [0]
+
+    def build(path, s):
+        keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+        name = keys[-1] if keys else ""
+        axis = _leaf_axis(name, s) if s.size >= (1 << 16) else None
+        if axis is None:
+            return full_init(s.shape, s.dtype, 0.02)()
+        counter[0] += 1
+        sshape = list(s.shape)
+        sshape[axis] = 1
+        q = q_init(s.shape)(jax.random.fold_in(key, counter[0]))
+        return QuantizedArray(
+            q, full_init(tuple(sshape), jnp.float32, 1.0 / 127)())
+
+    return jax.tree_util.tree_map_with_path(build, shapes)
+
+
+def bench_decode_full_int8(B=2, text_len=32, max_new=64):
+    """THE north-star shape: the FULL 32-layer 11B flagship, weight-only
+    int8, single chip, batched greedy decode. bf16 cannot do this at all
+    (~18 GB > 16 GB HBM); int8 is ~9.4 GB."""
+    import jax
+
+    from libra_tpu.generation import GenerationConfig, Generator
+    from __graft_entry__ import _example_batch, _flagship_cfg
+
+    cfg = _flagship_cfg(32)
+    params = _device_quantized_params(cfg)
+    ids, mask, vi, sig = _example_batch(cfg, B=B, text_len=text_len)
+    inputs = {"input_ids": ids, "attention_mask": mask,
+              "vision_indices": vi, "coninous_signal": sig}
+    gen = GenerationConfig(max_new_tokens=max_new, eos_token_id=-1)
+    g = Generator(params, cfg)
+
+    _sync(g(inputs, gen).sequences)    # compile + run
+    t0 = time.perf_counter()
+    _sync(g(inputs, gen).sequences)
+    dt = time.perf_counter() - t0
+    return max_new * B / dt, dt
+
+
 def _stage(name, t0):
     import sys
     print(f"[bench] {name}: {time.perf_counter() - t0:.1f}s",
@@ -162,14 +233,24 @@ def main():
     t = time.perf_counter()
     try:
         tok_s, dt = bench_decode()
-        extra["decode_wall_s_128tok"] = round(dt, 3)
+        extra["decode_8layer_bf16_b1_tok_s"] = round(tok_s, 2)
+        extra["decode_8layer_wall_s_128tok"] = round(dt, 3)
     except Exception as e:  # noqa: BLE001
-        tok_s = 0.0
-        extra["decode_error"] = repr(e)[:200]
-    _stage("decode", t)
+        extra["decode_8layer_error"] = repr(e)[:200]
+    _stage("decode_8layer_bf16", t)
+
+    t = time.perf_counter()
+    try:
+        full_tok_s, dt = bench_decode_full_int8()
+        extra["decode_full32_wall_s"] = round(dt, 3)
+    except Exception as e:  # noqa: BLE001
+        full_tok_s = 0.0
+        extra["decode_full32_error"] = repr(e)[:200]
+    _stage("decode_full32_int8", t)
+
     print(json.dumps({
-        "metric": "decode_tokens_per_sec_8layer_bf16_b1",
-        "value": round(tok_s, 2),
+        "metric": "decode_tok_s_full_11b_int8_single_chip_b2",
+        "value": round(full_tok_s, 2),
         "unit": "tokens/s",
         "vs_baseline": None,
         "extra": extra,

