@@ -230,14 +230,9 @@ def main():
         extra["vqa_fused_error"] = repr(e)[:200]
     _stage("vqa_fused", t)
 
-    t = time.perf_counter()
-    try:
-        tok_s, dt = bench_decode()
-        extra["decode_8layer_bf16_b1_tok_s"] = round(tok_s, 2)
-        extra["decode_8layer_wall_s_128tok"] = round(dt, 3)
-    except Exception as e:  # noqa: BLE001
-        extra["decode_8layer_error"] = repr(e)[:200]
-    _stage("decode_8layer_bf16", t)
+    # (bench_decode(num_layers=8) exists for manual runs; the fused-VQA
+    # stage above already reports the 8-layer bf16 decode rate, and every
+    # extra stage is another multi-minute XLA compile on the driver's clock)
 
     t = time.perf_counter()
     try:

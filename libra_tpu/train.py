@@ -33,6 +33,12 @@ def build_model_and_tokenizer(model_cfg: Dict[str, Any]):
     if pretrained:
         cfg = LibraConfig.from_pretrained(pretrained)
         sd = ckpt.load_torch_state_dict(pretrained)
+        # optional extra weight override on top of from_pretrained, with
+        # legacy 'model.'/'module.' prefix surgery
+        # (reference: LibraTrainWrapper, modeling_libra.py:1311-1340)
+        extra = model_cfg.get("pretrained_weight")
+        if extra:
+            sd = ckpt.load_torch_state_dict(extra)
         params = ckpt.convert_libra_state_dict(sd, cfg)
         text_tok = HFTextTokenizer(pretrained)
         vq_cfg, vq_ckpt, max_vt = load_vision_tokenizer_config(pretrained)
