@@ -79,11 +79,33 @@ def _spec_for(path: str, ndim: int, layered: bool) -> P:
     return out(*([None] * (ndim - 1 if layered else ndim)))
 
 
+def _path_keys(path) -> list:
+    out = []
+    for p in path:
+        k = getattr(p, "key", None)
+        if k is None:
+            k = getattr(p, "name", None)
+        out.append(str(k) if k is not None else str(p))
+    return out
+
+
 def param_specs(params: Any) -> Any:
-    """Pytree of PartitionSpec matching a libra param pytree."""
+    """Pytree of PartitionSpec matching a libra param pytree.
+
+    Understands weight-only-quantized trees (libra_tpu.quantization): a
+    QuantizedArray's `q` gets the spec of the plain weight it replaced;
+    its `scale` gets the same spec with every size-1 (reduced) dim
+    unsharded, so dequantization never introduces a collective."""
     def visit(path, leaf):
-        keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+        keys = _path_keys(path)
         layered = "layers" in keys
+        if keys and keys[-1] in ("q", "scale"):
+            base = _spec_for("/".join(keys[:-1]), leaf.ndim, layered)
+            if keys[-1] == "q":
+                return base
+            axes = [None if leaf.shape[d] == 1 else base[d]
+                    for d in range(leaf.ndim)]
+            return P(*axes)
         return _spec_for("/".join(keys), leaf.ndim, layered)
     return jax.tree_util.tree_map_with_path(visit, params)
 

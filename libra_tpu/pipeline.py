@@ -77,7 +77,8 @@ class LibraPipeline:
                         quantize: bool = False) -> "LibraPipeline":
         """quantize=True: weight-only int8 (libra_tpu.quantization) -- the
         full 11B fits a single v5e chip (~9.4 GB) and decodes ~1.3x faster
-        per byte of HBM; mutually exclusive with mesh TP for now."""
+        per byte of HBM. Composes with mesh TP (int8 shards over the
+        "model" axis like the plain weights)."""
         from libra_tpu import checkpoint as ckpt
         from libra_tpu.models import libra as M  # noqa: F401
         from libra_tpu.tokenization import HFTextTokenizer, ImageTokenizer
@@ -98,11 +99,8 @@ class LibraPipeline:
                                      ImageTokenizer.infer_downsample_ratio(
                                          vq_ckpt)))
         if quantize:
-            if mesh is not None:
-                raise ValueError("quantize=True is single-chip serving; "
-                                 "combine with mesh TP is not supported yet")
             from libra_tpu.quantization import quantize_params
-            params = quantize_params(params)
+            params = quantize_params(params)   # composes with mesh TP
         return cls(cfg, params, LibraTokenizer(text_tok, img_tok), mesh=mesh)
 
     # -- inference ----------------------------------------------------------

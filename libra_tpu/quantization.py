@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@jax.tree_util.register_pytree_node_class
+@jax.tree_util.register_pytree_with_keys_class
 class QuantizedArray:
     """int8 weight + broadcastable float scale, duck-typing the two ways
     model code consumes weights: `.astype(dt)` and `w[idx]` gathers."""
@@ -35,6 +35,10 @@ class QuantizedArray:
     def __init__(self, q, scale):
         self.q = q
         self.scale = scale
+
+    def tree_flatten_with_keys(self):
+        K = jax.tree_util.GetAttrKey
+        return ((K("q"), self.q), (K("scale"), self.scale)), None
 
     def tree_flatten(self):
         return (self.q, self.scale), None

@@ -75,3 +75,33 @@ def test_quantized_generation_close_to_fp32():
     seq = np.asarray(res.sequences)
     assert seq.shape[-1] == ids.shape[-1] + 4
     assert (seq >= 0).all()
+
+
+def test_quantized_tp_decode_matches_single_device():
+    """int8 weights compose with tensor-parallel decode: q shards like the
+    plain weight, scales stay replicated on reduced dims; tokens identical
+    to the single-device quantized run."""
+    from libra_tpu.parallel import make_mesh
+    from libra_tpu.parallel.sharding import param_specs, shard_params
+
+    cfg = LibraConfig.tiny()
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_params(params, min_elems=64)
+
+    specs = param_specs(qparams)
+    qp = specs["layers"]["attn"]["q_proj"]
+    assert qp.q[-1] == "model" and qp.scale[-1] == "model"
+    assert qp.scale[-2] is None   # reduced (size-1) dim never sharded
+
+    ids, mask, vi, sig = make_inputs(cfg, B=2)
+    inputs = {"input_ids": ids, "attention_mask": mask,
+              "vision_indices": vi, "coninous_signal": sig}
+    gen = GenerationConfig(max_new_tokens=6, eos_token_id=-1)
+    ref = Generator(qparams, cfg)(inputs, gen)
+
+    mesh = make_mesh(data=1, fsdp=2, model=4)
+    g = Generator(qparams, cfg, mesh=mesh)
+    assert g.params["layers"]["attn"]["q_proj"].q.sharding.spec[-1] == "model"
+    got = g(inputs, gen)
+    np.testing.assert_array_equal(np.asarray(got.sequences),
+                                  np.asarray(ref.sequences))
