@@ -181,10 +181,11 @@ def _device_quantized_params(cfg):
     return jax.tree_util.tree_map_with_path(build, shapes)
 
 
-def bench_decode_full_int8(B=2, text_len=32, max_new=64):
+def bench_decode_full_int8(B=4, text_len=32, max_new=64):
     """THE north-star shape: the FULL 32-layer 11B flagship, weight-only
-    int8, single chip, batched greedy decode. bf16 cannot do this at all
-    (~18 GB > 16 GB HBM); int8 is ~9.4 GB."""
+    int8 + int8 KV cache, single chip, batched greedy decode. bf16 cannot
+    do this at all (~18 GB > 16 GB HBM); int8 weights are ~9.4 GB, and the
+    int8 KV cache halves cache memory/traffic, which is what admits B=4."""
     import jax
 
     from libra_tpu.generation import GenerationConfig, Generator
@@ -195,7 +196,8 @@ def bench_decode_full_int8(B=2, text_len=32, max_new=64):
     ids, mask, vi, sig = _example_batch(cfg, B=B, text_len=text_len)
     inputs = {"input_ids": ids, "attention_mask": mask,
               "vision_indices": vi, "coninous_signal": sig}
-    gen = GenerationConfig(max_new_tokens=max_new, eos_token_id=-1)
+    gen = GenerationConfig(max_new_tokens=max_new, eos_token_id=-1,
+                           kv_quant=True)
     g = Generator(params, cfg)
 
     _sync(g(inputs, gen).sequences)    # compile + run
@@ -211,41 +213,58 @@ def _stage(name, t0):
           file=sys.stderr, flush=True)
 
 
+# Each stage runs in its OWN subprocess with a hard timeout: a wedged TPU
+# tunnel makes jax calls hang forever (not error), which would otherwise
+# hang the whole bench. The child prints one JSON dict of results.
+_STAGES = {
+    "vision_encode": (lambda: {"vision_encode_img_s_b8":
+                               round(bench_vision_encode(), 2)}, 600),
+    "vqa_fused": (lambda: dict(zip(
+        ("vqa_fused_ttft_ms", "vqa_fused_decode_tok_s"),
+        (lambda r: (round(r[0] * 1000, 1), round(r[1], 2)))(
+            bench_vqa_fused()))), 900),
+    "decode_full32_int8": (lambda: (lambda r: {
+        "decode_full32_tok_s": round(r[0], 2),
+        "decode_full32_wall_s": round(r[1], 3)})(
+            bench_decode_full_int8()), 900),
+}
+
+
+def _run_stage(name):
+    out = {}
+    try:
+        out = _STAGES[name][0]()
+    except Exception as e:  # noqa: BLE001
+        out = {f"{name}_error": repr(e)[:200]}
+    print("STAGE_RESULT " + json.dumps(out), flush=True)
+
+
 def main():
+    import subprocess
+    import sys
+
     extra = {}
-    t = time.perf_counter()
-    try:
-        imgs_per_s = bench_vision_encode()
-        extra["vision_encode_img_s_b8"] = round(imgs_per_s, 2)
-    except Exception as e:  # noqa: BLE001
-        extra["vision_encode_error"] = repr(e)[:200]
-    _stage("vision_encode", t)
-
-    t = time.perf_counter()
-    try:
-        ttft, fused_tok_s = bench_vqa_fused()
-        extra["vqa_fused_ttft_ms"] = round(ttft * 1000, 1)
-        extra["vqa_fused_decode_tok_s"] = round(fused_tok_s, 2)
-    except Exception as e:  # noqa: BLE001
-        extra["vqa_fused_error"] = repr(e)[:200]
-    _stage("vqa_fused", t)
-
-    # (bench_decode(num_layers=8) exists for manual runs; the fused-VQA
-    # stage above already reports the 8-layer bf16 decode rate, and every
-    # extra stage is another multi-minute XLA compile on the driver's clock)
-
-    t = time.perf_counter()
-    try:
-        full_tok_s, dt = bench_decode_full_int8()
-        extra["decode_full32_wall_s"] = round(dt, 3)
-    except Exception as e:  # noqa: BLE001
-        full_tok_s = 0.0
-        extra["decode_full32_error"] = repr(e)[:200]
-    _stage("decode_full32_int8", t)
+    for name, (_, timeout) in _STAGES.items():
+        t = time.perf_counter()
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--stage", name],
+                capture_output=True, text=True, timeout=timeout)
+            for line in proc.stdout.splitlines():
+                if line.startswith("STAGE_RESULT "):
+                    extra.update(json.loads(line[len("STAGE_RESULT "):]))
+                    break
+            else:
+                extra[f"{name}_error"] = (
+                    f"no result (exit {proc.returncode}): "
+                    + proc.stderr.strip()[-150:])
+        except subprocess.TimeoutExpired:
+            extra[f"{name}_error"] = f"timeout after {timeout}s"
+        _stage(name, t)
 
     print(json.dumps({
-        "metric": "decode_tok_s_full_11b_int8_single_chip_b2",
-        "value": round(full_tok_s, 2),
+        "metric": "decode_tok_s_full_11b_int8_single_chip_b4",
+        "value": extra.pop("decode_full32_tok_s", 0.0),
         "unit": "tokens/s",
         "vs_baseline": None,
         "extra": extra,
@@ -253,4 +272,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if len(sys.argv) == 3 and sys.argv[1] == "--stage":
+        _run_stage(sys.argv[2])
+    else:
+        main()

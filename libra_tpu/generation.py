@@ -40,6 +40,7 @@ class GenerationConfig:
     pad_token_id: int = 0
     prompt_bucket: int = 0   # 0 = pad prompt to exact length (one jit per len)
     attn_impl: str = "auto"  # "auto" | "xla" | "pallas" (prefill kernel)
+    kv_quant: bool = False   # int8 K/V cache (per-token/head scales)
 
 
 def _filter_top_k(logits: jax.Array, k: int) -> jax.Array:
@@ -127,7 +128,7 @@ def _generate_impl(params, input_ids, attention_mask, vision_indices,
     if impl == "auto":
         impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
 
-    cache = M.init_cache(cfg, B, S)
+    cache = M.init_cache(cfg, B, S, quantized=gen.kv_quant)
     if cache_shardings is not None:
         # pin the KV cache layout: heads sharded over the "model" mesh axis
         # (decode-time KV lives distributed over ICI); the while_loop carry
@@ -276,7 +277,8 @@ class Generator:
             cache_sh = None
             if self.mesh is not None:
                 from libra_tpu.parallel.sharding import cache_shardings
-                cache_sh = cache_shardings(self.mesh, self.cfg)
+                cache_sh = cache_shardings(self.mesh, self.cfg,
+                                           quantized=gen.kv_quant)
             self._compiled[key] = jax.jit(functools.partial(
                 _generate_impl, cfg=self.cfg, gen=gen, vq_cfg=self.vq_cfg,
                 cache_shardings=cache_sh))

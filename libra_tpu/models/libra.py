@@ -157,10 +157,22 @@ class KVCache(NamedTuple):
 
 
 def init_cache(cfg: LibraConfig, batch: int, max_len: int,
-               dtype=None) -> KVCache:
+               dtype=None, quantized: bool = False) -> KVCache:
+    """quantized=True: int8 K/V with per-(token, head) scales -- halves the
+    cache's HBM footprint AND its per-step read traffic (net-new vs the
+    reference's fp16 tuple cache, modeling_libra.py:344-361)."""
+    from libra_tpu.quantization import QuantizedArray
+
     dtype = dtype or cfg.compute_dtype
     L, H, d = cfg.num_hidden_layers, cfg.num_attention_heads, cfg.head_dim
-    z = lambda: jnp.zeros((L, batch, max_len, H, d), dtype)
+
+    def z():
+        if quantized:
+            return QuantizedArray(
+                jnp.zeros((L, batch, max_len, H, d), jnp.int8),
+                jnp.zeros((L, batch, max_len, H, 1), jnp.float32))
+        return jnp.zeros((L, batch, max_len, H, d), dtype)
+
     return KVCache(
         k=z(), v=z(),
         kb=z() if cfg.use_bridge else None,
@@ -170,8 +182,21 @@ def init_cache(cfg: LibraConfig, batch: int, max_len: int,
     )
 
 
-def _write_cache(buf: jax.Array, new: jax.Array, index) -> jax.Array:
-    """buf: (B, S, H, d); new: (B, N, H, d); write at [:, index:index+N]."""
+def _write_cache(buf, new: jax.Array, index):
+    """buf: (B, S, H, d) array or QuantizedArray(q, scale(B,S,H,1));
+    new: (B, N, H, d); write at [:, index:index+N]."""
+    from libra_tpu.quantization import QuantizedArray
+
+    if isinstance(buf, QuantizedArray):
+        a = jnp.max(jnp.abs(new.astype(jnp.float32)), axis=-1, keepdims=True)
+        scale = jnp.where(a > 0, a, 1.0) / 127.0
+        q = jnp.clip(jnp.round(new.astype(jnp.float32) / scale),
+                     -127, 127).astype(jnp.int8)
+        return QuantizedArray(
+            jax.lax.dynamic_update_slice(buf.q, q, (0, index, 0, 0)),
+            jax.lax.dynamic_update_slice(buf.scale,
+                                         scale.astype(buf.scale.dtype),
+                                         (0, index, 0, 0)))
     return jax.lax.dynamic_update_slice(buf, new.astype(buf.dtype),
                                         (0, index, 0, 0))
 
@@ -329,16 +354,27 @@ def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
 
     new_cache = None
     if cache_slice is not None:
+        from libra_tpu.quantization import QuantizedArray
+        cd = q.dtype
+
+        def rd(buf):
+            # QuantizedArray.astype dequantizes the int8 cache for the
+            # attention dots (score-folded int8 consumption measured slower
+            # on v5e and crashed the compiler at 32 layers; int8 caching is
+            # a MEMORY feature: it halves cache HBM so bigger batches /
+            # longer contexts fit)
+            return buf.astype(cd) if isinstance(buf, QuantizedArray) else buf
+
         idx = cache_slice["index"]
         ck = _write_cache(cache_slice["k"], k, idx)
         cv = _write_cache(cache_slice["v"], v, idx)
         new_cache = {"k": ck, "v": cv}
-        k, v = ck, cv
+        k, v = rd(ck), rd(cv)
         if cfg.use_bridge:
             ckb = _write_cache(cache_slice["kb"], kb, idx)
             cvb = _write_cache(cache_slice["vb"], vb, idx)
             new_cache.update({"kb": ckb, "vb": cvb})
-            kb, vb = ckb, cvb
+            kb, vb = rd(ckb), rd(cvb)
 
     block_q = _choose_block_q(q.shape[1]) if attn_impl == "pallas" else None
     if block_q is not None:

@@ -48,7 +48,12 @@ def bridged_attention(
     bias: jax.Array,         # (B, 1, Nq, Nk) additive mask (0 or BIG_NEG)
 ) -> jax.Array:
     """Returns (B, Nq, H, d). XLA-path implementation; a fused Pallas kernel
-    with identical semantics lives in libra_tpu/ops/pallas/flash_bridge.py."""
+    with identical semantics lives in libra_tpu/ops/pallas/flash_bridge.py.
+
+    (A score-folded variant that kept the int8 KV cache un-dequantized in
+    the dots was tried and measured SLOWER on v5e (+6 ms/step at L=24) and
+    crashed the TPU compiler at 32 layers; callers dequantize quantized
+    caches before this function instead.)"""
     q, k, v, kb, vb = inputs
     B, Nq, H, d = q.shape
     scale = 1.0 / (d ** 0.5)

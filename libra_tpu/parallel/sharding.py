@@ -120,14 +120,19 @@ def shard_params(mesh: Mesh, params: Any) -> Any:
     return jax.device_put(params, param_shardings(mesh, params))
 
 
-def cache_shardings(mesh: Mesh, cfg: LibraConfig):
+def cache_shardings(mesh: Mesh, cfg: LibraConfig, quantized: bool = False):
     """NamedShardings for the decode KVCache (k/v/kb/vb:
     (L, B, S, H, head_dim)): attention heads shard over the "model" axis --
     the decode-time KV cache lives sharded over ICI (the serving north
-    star), batch over "data". flag/index replicate (tiny)."""
+    star), batch over "data". flag/index replicate (tiny). quantized=True
+    mirrors the int8 cache structure (q + per-(token, head) scale)."""
     from libra_tpu.models.libra import KVCache
+    from libra_tpu.quantization import QuantizedArray
 
-    kv = NamedSharding(mesh, P(None, "data", None, "model", None))
+    spec = P(None, "data", None, "model", None)
+    kv = NamedSharding(mesh, spec)
+    if quantized:
+        kv = QuantizedArray(kv, NamedSharding(mesh, spec))
     return KVCache(
         k=kv, v=kv,
         kb=kv if cfg.use_bridge else None,

@@ -105,3 +105,83 @@ def test_quantized_tp_decode_matches_single_device():
     got = g(inputs, gen)
     np.testing.assert_array_equal(np.asarray(got.sequences),
                                   np.asarray(ref.sequences))
+
+
+def test_int8_kv_cache_roundtrip_bound():
+    """Per-(token, head) int8 KV write/read: |err| <= amax/254."""
+    from libra_tpu.models.libra import _write_cache
+
+    cfg = LibraConfig.tiny()
+    cache = M.init_cache(cfg, batch=2, max_len=8, quantized=True)
+    new = np.random.RandomState(0).randn(
+        2, 3, cfg.num_attention_heads, cfg.head_dim).astype(np.float32)
+    buf = jax.jit(lambda b, n: _write_cache(b, jnp.asarray(n), 2))(
+        cache.k[0], new)    # layer-0 slice (B, S, H, d)
+    got = np.asarray(buf.astype(jnp.float32))[:, 2:5]
+    amax = np.abs(new).max(axis=-1, keepdims=True)
+    assert (np.abs(got - new) <= amax / 254 + 1e-7).all()
+
+
+def test_int8_kv_cache_decode_close():
+    """Cached decode with int8 KV must match the uncached forward within
+    the quantization noise floor (tiny f32 model)."""
+    from libra_tpu.generation import GenerationConfig, Generator
+
+    cfg = LibraConfig.tiny()
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    ids, mask, vi, sig = make_inputs(cfg, B=2)
+    Q, B, N = ids.shape
+    fwd_cfg = cfg
+
+    @jax.jit
+    def cached_last_hidden(params, ids, mask, vi, sig):
+        cache = M.init_cache(fwd_cfg, B, N + 1, quantized=True)
+        mask_buf = jnp.zeros((B, N + 1), jnp.int32).at[:, :N - 1].set(
+            mask[:, :N - 1])
+        pos = M.position_ids_from_mask(mask[:, :N - 1])
+        pre = M.forward(params, fwd_cfg, ids[:, :, :N - 1], mask_buf,
+                        vi[:, :N - 1], sig[:, :N - 1], position_ids=pos,
+                        cache=cache)
+        mask_buf = mask_buf.at[:, N - 1].set(mask[:, N - 1])
+        last_pos = M.position_ids_from_mask(mask)[:, -1:]
+        step = M.forward(params, fwd_cfg, ids[:, :, N - 1:], mask_buf,
+                         vi[:, N - 1:], sig[:, N - 1:],
+                         position_ids=last_pos, cache=pre.cache)
+        return step.hidden_states[:, 0]
+
+    @jax.jit
+    def full_last_hidden(params, ids, mask, vi, sig):
+        return M.forward(params, fwd_cfg, ids, mask, vi,
+                         sig).hidden_states[:, -1]
+
+    got = np.asarray(cached_last_hidden(params, ids, mask, vi, sig))
+    ref = np.asarray(full_last_hidden(params, ids, mask, vi, sig))
+    assert np.isfinite(got).all()
+    # int8 KV noise floor; exact cache path (bf16) is tested elsewhere
+    np.testing.assert_allclose(got, ref, rtol=0.15, atol=0.15)
+
+    # end-to-end generation with the quantized cache
+    g = Generator(params, cfg)
+    res = g({"input_ids": ids, "attention_mask": mask, "vision_indices": vi,
+             "coninous_signal": sig},
+            GenerationConfig(max_new_tokens=4, eos_token_id=-1,
+                             kv_quant=True))
+    assert np.asarray(res.sequences).shape[-1] == N + 4
+
+
+def test_int8_kv_cache_tp_decode():
+    """int8 KV cache composes with tensor-parallel decode (sharded q+scale
+    buffers carried through the while_loop)."""
+    from libra_tpu.parallel import make_mesh
+
+    cfg = LibraConfig.tiny()
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    ids, mask, vi, sig = make_inputs(cfg, B=2)
+    inputs = {"input_ids": ids, "attention_mask": mask,
+              "vision_indices": vi, "coninous_signal": sig}
+    gen = GenerationConfig(max_new_tokens=4, eos_token_id=-1, kv_quant=True)
+    ref = Generator(params, cfg)(inputs, gen)
+    mesh = make_mesh(data=2, fsdp=1, model=4)
+    got = Generator(params, cfg, mesh=mesh)(inputs, gen)
+    np.testing.assert_array_equal(np.asarray(got.sequences),
+                                  np.asarray(ref.sequences))
