@@ -77,11 +77,11 @@ def _layer(p, cfg: LibraConfig, h, cos, sin, position_ids, bias):
     return h + mlp
 
 
-def forward(params: Params, cfg: LibraConfig, input_ids: jax.Array,
-            attention_mask: Optional[jax.Array] = None,
-            position_ids: Optional[jax.Array] = None,
-            remat: bool = False) -> jax.Array:
-    """input_ids: (B, N) -> logits (B, N, V)."""
+def forward_hidden(params: Params, cfg: LibraConfig, input_ids: jax.Array,
+                   attention_mask: Optional[jax.Array] = None,
+                   position_ids: Optional[jax.Array] = None,
+                   remat: bool = False) -> jax.Array:
+    """input_ids: (B, N) -> final-norm hidden states (B, N, D)."""
     B, N = input_ids.shape
     if attention_mask is None:
         attention_mask = jnp.ones((B, N), jnp.int32)
@@ -98,8 +98,35 @@ def forward(params: Params, cfg: LibraConfig, input_ids: jax.Array,
     if remat:
         body = jax.checkpoint(body)
     h, _ = jax.lax.scan(body, h, params["layers"])
-    h = rms_norm(h, params["norm"], cfg.rms_norm_eps)
+    return rms_norm(h, params["norm"], cfg.rms_norm_eps)
+
+
+def forward(params: Params, cfg: LibraConfig, input_ids: jax.Array,
+            attention_mask: Optional[jax.Array] = None,
+            position_ids: Optional[jax.Array] = None,
+            remat: bool = False) -> jax.Array:
+    """input_ids: (B, N) -> logits (B, N, V)."""
+    h = forward_hidden(params, cfg, input_ids, attention_mask, position_ids,
+                       remat)
     return jnp.einsum("bnd,dv->bnv", h, params["lm_head"].astype(h.dtype))
+
+
+def sequence_classification_logits(
+        params: Params, cfg: LibraConfig, input_ids: jax.Array,
+        attention_mask: Optional[jax.Array] = None) -> jax.Array:
+    """(B, num_labels) pooled at each sequence's LAST non-pad token.
+
+    The reference vendors LlamaForSequenceClassification
+    (libra/models/llama/modeling_llama.py:854-951); params need an extra
+    'score' head of shape (D, num_labels)."""
+    h = forward_hidden(params, cfg, input_ids, attention_mask)
+    logits = jnp.einsum("bnd,dc->bnc", h, params["score"].astype(h.dtype))
+    B, N = input_ids.shape
+    if attention_mask is None:
+        last = jnp.full((B,), N - 1, jnp.int32)
+    else:
+        last = jnp.maximum(jnp.sum(attention_mask, axis=-1) - 1, 0)
+    return logits[jnp.arange(B), last]
 
 
 def convert_hf_llama_state_dict(sd: Dict[str, np.ndarray],

@@ -86,3 +86,39 @@ def test_llm_lr_scale_groups():
     # language params get zero LR, vision params move
     assert float(jnp.abs(updates["lm_head"]).max()) == 0.0
     assert float(jnp.abs(updates["vision_lm_head"]).max()) > 0.0
+
+
+def test_llama_sequence_classification_vs_hf():
+    """Pooled-at-last-token classification parity with HF
+    LlamaForSequenceClassification (vendored in the reference)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=4, max_position_embeddings=64,
+        rope_theta=10000.0, num_labels=5, pad_token_id=0,
+        attn_implementation="eager")
+    torch.manual_seed(1)
+    model = transformers.LlamaForSequenceClassification(hf_cfg).eval()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    sd["lm_head.weight"] = np.zeros((128, 32), np.float32)  # unused head
+
+    cfg = LibraConfig.tiny(vocab_size=128, hidden_size=32,
+                           intermediate_size=64, num_hidden_layers=2,
+                           num_attention_heads=4,
+                           max_position_embeddings=64)
+    params = L.convert_hf_llama_state_dict(sd, cfg)
+    params["score"] = jnp.asarray(sd["score.weight"].T)
+
+    rng = np.random.RandomState(0)
+    ids = rng.randint(1, 128, (3, 9))
+    ids[0, 6:] = 0                      # right padding (pad_token_id=0)
+    mask = (ids != 0).astype(np.int64)
+    with torch.no_grad():
+        want = model(torch.from_numpy(ids),
+                     attention_mask=torch.from_numpy(mask)).logits.numpy()
+    got = np.asarray(jax.jit(
+        lambda p, i, m: L.sequence_classification_logits(p, cfg, i, m))(
+            params, jnp.asarray(ids), jnp.asarray(mask)))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
