@@ -212,3 +212,72 @@ def test_loss_matches_reference(ref_modeling):
 
     got = float(loss(params, ids, mask, vi, sig, jnp.asarray(labels)))
     assert abs(got - want) < 2e-4 * max(1.0, abs(want)), (got, want)
+
+
+def test_cached_decode_matches_reference(ref_modeling):
+    """Bridged KV-cache parity (SURVEY 'hard part #1'): prefill + cached
+    single-token step against the reference's past_key_values path."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from libra_tpu import checkpoint as ckpt
+    from libra_tpu.config import LibraConfig
+    from libra_tpu.models import libra as M
+    from tests.test_core_model import make_inputs
+
+    modeling, configuration = ref_modeling
+    cfg = LibraConfig.tiny()
+    ref_cfg = _ref_cfg_from(configuration, cfg)
+    torch.manual_seed(2)
+    ref = modeling.LibraForCausalLM(ref_cfg).float().eval()
+    sd = {k: v.float().numpy() for k, v in ref.state_dict().items()}
+    params = ckpt.convert_libra_state_dict(sd, cfg)
+
+    ids, mask, vi, sig = make_inputs(cfg, B=2)
+    Q, B, N = ids.shape
+    ids_n, mask_n = np.asarray(ids), np.asarray(mask)
+    vi_n, sig_n = np.asarray(vi), np.asarray(sig, np.float32)
+
+    pos_full = np.asarray(M.position_ids_from_mask(mask))
+    t = lambda x: torch.from_numpy(np.ascontiguousarray(x))
+
+    with torch.no_grad():
+        pre = ref(input_ids=t(ids_n[:, :, :N - 1]).long(),
+                  attention_mask=t(mask_n[:, :N - 1]).long(),
+                  position_ids=t(pos_full[:, :N - 1]).long(),
+                  vision_indices=t(vi_n[:, :N - 1]).long(),
+                  contiguous_signal=t(sig_n[:, :N - 1]),
+                  use_cache=True)
+        step = ref(input_ids=t(ids_n[:, :, N - 1:]).long(),
+                   attention_mask=t(mask_n).long(),
+                   position_ids=t(pos_full[:, N - 1:]).long(),
+                   vision_indices=t(vi_n[:, N - 1:]).long(),
+                   past_key_values=pre.past_key_values,
+                   use_cache=True)
+    want = step.logits.numpy()[:, :, -1]        # (Q, B, V+Vv)
+
+    @jax.jit
+    def ours(params, ids, mask, vi, sig):
+        cache = M.init_cache(cfg, B, N, dtype=jnp.float32)
+        mask_buf = jnp.zeros((B, N), jnp.int32).at[:, :N - 1].set(
+            mask[:, :N - 1])
+        pre = M.forward(params, cfg, ids[:, :, :N - 1], mask_buf,
+                        vi[:, :N - 1], sig[:, :N - 1],
+                        position_ids=jnp.asarray(pos_full[:, :N - 1]),
+                        cache=cache)
+        mask_buf = mask_buf.at[:, N - 1].set(mask[:, N - 1])
+        st = M.forward(params, cfg, ids[:, :, N - 1:], mask_buf,
+                       vi[:, N - 1:], None,
+                       position_ids=jnp.asarray(pos_full[:, N - 1:]),
+                       cache=pre.cache)
+        flag = (vi[:, N - 1:] < cfg.max_vision_token_length)
+        tl = M.compute_text_logits(params, st.hidden_states)
+        vl = M.compute_vision_logits(params, st.hidden_states)
+        return M.assemble_logits(cfg, tl, vl, flag)[:, :, -1]
+
+    got = np.asarray(ours(params, ids, mask, vi, sig))
+    finite = np.isfinite(want)
+    np.testing.assert_array_equal(finite, np.isfinite(got))
+    np.testing.assert_allclose(got[finite], want[finite],
+                               rtol=2e-4, atol=2e-4)
