@@ -10,58 +10,20 @@ Skipped automatically when /root/reference is not mounted (CI portability).
 """
 
 import os
-import sys
-import types
-import importlib.machinery as machinery
 
 import numpy as np
 import pytest
 
-REF = "/root/reference"
+from tests.ref_compat import REF, ensure_reference_importable
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(os.path.join(REF, "libra")),
     reason="reference checkout not available")
 
 
-def _stub(name, **attrs):
-    m = types.ModuleType(name)
-    m.__spec__ = machinery.ModuleSpec(name, None)
-    for k, v in attrs.items():
-        setattr(m, k, v)
-    sys.modules[name] = m
-    return m
-
-
 @pytest.fixture(scope="module")
 def ref_modeling():
-    """Import the reference package with stubs for deps not in this image
-    (torchvision, omegaconf) and symbols newer transformers dropped."""
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-
-    class _T:  # transform stub
-        def __init__(self, *a, **k):
-            pass
-
-        def __call__(self, x):
-            return x
-
-    if "torchvision" not in sys.modules:
-        tv = _stub("torchvision")
-        tv.transforms = _stub("torchvision.transforms", Compose=_T,
-                              Normalize=_T, Resize=_T, CenterCrop=_T,
-                              ToTensor=_T)
-    if "omegaconf" not in sys.modules:
-        _stub("omegaconf", OmegaConf=type("OmegaConf", (), {}))
-
-    import transformers.generation.logits_process as lp
-    if not hasattr(lp, "ForceTokensLogitsProcessor"):
-        lp.ForceTokensLogitsProcessor = lp.ForcedBOSTokenLogitsProcessor
-    import transformers.generation.stopping_criteria as sc
-    if not hasattr(sc, "validate_stopping_criteria"):
-        sc.validate_stopping_criteria = lambda c, m: c
-
+    ensure_reference_importable()
     from libra.models.libra import modeling_libra, configuration_libra
     return modeling_libra, configuration_libra
 
