@@ -314,6 +314,35 @@ def _attn(sd, name):
             "proj_out": _conv(sd, f"{name}.proj_out")}
 
 
+def convert_vqgan_encoder(sd: Dict[str, np.ndarray],
+                          cfg: VQGANConfig) -> Dict[str, Any]:
+    """taming conv Encoder state dict (keys under 'encoder.') -> the
+    libra_tpu.models.vqgan encoder tree (reference: model.py:380-471)."""
+    from libra_tpu.models.vqgan import encoder_plan
+
+    levels, _ = encoder_plan(cfg)
+    enc: Dict[str, Any] = {
+        "conv_in": _conv(sd, "encoder.conv_in"),
+        "mid_block_1": _resnet(sd, "encoder.mid.block_1"),
+        "mid_attn_1": _attn(sd, "encoder.mid.attn_1"),
+        "mid_block_2": _resnet(sd, "encoder.mid.block_2"),
+        "norm_out": _gn(sd, "encoder.norm_out"),
+        "conv_out": _conv(sd, "encoder.conv_out"),
+        "down": [],
+    }
+    for i, lev in enumerate(levels):
+        entry: Dict[str, Any] = {"block": [], "attn": []}
+        for j in range(cfg.num_res_blocks):
+            entry["block"].append(_resnet(sd, f"encoder.down.{i}.block.{j}"))
+            if lev["has_attn"]:
+                entry["attn"].append(_attn(sd, f"encoder.down.{i}.attn.{j}"))
+        if lev["has_down"]:
+            entry["downsample_conv"] = _conv(
+                sd, f"encoder.down.{i}.downsample.conv")
+        enc["down"].append(entry)
+    return enc
+
+
 def convert_vqgan_state_dict(sd: Dict[str, np.ndarray], cfg: VQGANConfig,
                              clip_params: Optional[Any] = None) -> Dict[str, Any]:
     """Reference VQModel state dict (vqgan.ckpt['state_dict'], loss keys
@@ -352,6 +381,8 @@ def convert_vqgan_state_dict(sd: Dict[str, np.ndarray], cfg: VQGANConfig,
         "post_quant_conv": _conv(sd, "post_quant_conv"),
         "decoder": dec,
     }
+    if "encoder.conv_in.weight" in sd:   # conv-encoder tokenizer variant
+        params["encoder"] = convert_vqgan_encoder(sd, cfg)
     if clip_params is not None:
         params["clip"] = clip_params
     else:

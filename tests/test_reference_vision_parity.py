@@ -136,3 +136,39 @@ def test_conversation_templates_match_reference(ref_path):
         ref_c.append_message(ref_c.roles[1], None)
         our_c.append_message(our_c.roles[1], None)
         assert our_c.get_prompt() == ref_c.get_prompt(), name
+
+
+def test_conv_encoder_matches_reference(ref_path):
+    """taming conv Encoder parity through convert_vqgan_encoder (the
+    non-CLIP tokenizer variant, model.py:380-471)."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+    from libra.models.libra.taming.modules.diffusionmodules.model import Encoder
+
+    from libra_tpu import checkpoint as ckpt
+    from libra_tpu.config import VQGANConfig
+    from libra_tpu.models import vqgan as vq
+
+    cfg = VQGANConfig.tiny(resolution=16, initial_resolution=4,
+                           ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                           attn_resolutions=(8,), z_channels=32, embed_dim=8,
+                           encoder_name="conv")
+    torch.manual_seed(3)
+    enc_t = Encoder(ch=cfg.ch, out_ch=cfg.out_ch, ch_mult=cfg.ch_mult,
+                    num_res_blocks=cfg.num_res_blocks,
+                    attn_resolutions=list(cfg.attn_resolutions),
+                    in_channels=3, resolution=cfg.resolution,
+                    z_channels=cfg.z_channels, double_z=False).eval()
+    sd = {f"encoder.{k}": v.numpy() for k, v in enc_t.state_dict().items()}
+    params = {"encoder": jax.tree_util.tree_map(
+        jnp.asarray, ckpt.convert_vqgan_encoder(sd, cfg))}
+
+    x = np.random.RandomState(4).randn(2, 16, 16, 3).astype(np.float32)
+    with torch.no_grad():
+        want = enc_t(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(jax.jit(
+        lambda p, x: vq.encoder_forward(p["encoder"], cfg, x))(params,
+                                                               jnp.asarray(x)))
+    np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1),
+                               rtol=2e-4, atol=2e-4)
