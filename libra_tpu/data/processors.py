@@ -77,8 +77,12 @@ class LibraImageProcessor:
         if self.pad_to_square:
             img = expand2square(img, self.background_color)
         w, h = img.size
-        scale = S / min(w, h)
-        nw, nh = max(S, round(w * scale)), max(S, round(h * scale))
+        # HF get_resize_output_image_size semantics (TRUNCATED long edge;
+        # reference: clip/image_processing_clip.py resize path) -- round()
+        # here would shift the whole resample grid by one pixel
+        short, long = (w, h) if w <= h else (h, w)
+        new_long = int(S * long / short)
+        nw, nh = (S, new_long) if w <= h else (new_long, S)
         img = img.resize((nw, nh), Image.BICUBIC)
         left, top = (nw - S) // 2, (nh - S) // 2
         img = img.crop((left, top, left + S, top + S))

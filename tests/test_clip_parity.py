@@ -63,3 +63,28 @@ def test_last_hidden_parity(hf_pair):
     got = clip_model.forward_features(params, cfg, jnp.asarray(x),
                                       select_layer=-1, square_output=False)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_image_preprocess_parity_vs_hf():
+    """Preprocessing parity with HF CLIPImageProcessor (the reference
+    vendors it verbatim; image_processing_clip.py:219-337): resize
+    shortest-edge bicubic -> center-crop -> rescale -> normalize."""
+    transformers = pytest.importorskip("transformers")
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    from libra_tpu.data.processors import LibraImageProcessor
+
+    hf = transformers.CLIPImageProcessor(
+        size={"shortest_edge": 336}, crop_size={"height": 336, "width": 336},
+        do_resize=True, do_center_crop=True, do_rescale=True,
+        do_normalize=True, do_convert_rgb=True)
+    ours = LibraImageProcessor()
+
+    rng = np.random.RandomState(0)
+    for shape in ((400, 640), (640, 400), (336, 336), (250, 700)):
+        img = Image.fromarray(rng.randint(0, 255, shape + (3,), np.uint8))
+        want = hf(images=img, return_tensors="np")["pixel_values"][0]
+        got = np.asarray(ours(img))                     # (H, W, C)
+        np.testing.assert_allclose(got.transpose(2, 0, 1), want,
+                                   rtol=1e-5, atol=1e-5)
