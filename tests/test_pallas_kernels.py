@@ -50,3 +50,33 @@ def test_flash_bridge_block_split():
                                    block_q=8, interpret=True)
     np.testing.assert_allclose(np.asarray(one), np.asarray(many),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_int4_matmul_interpret():
+    """int4 pack/dequant bounds and kernel parity (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+    from libra_tpu.ops.pallas.int4_matmul import (dequant_int4, int4_matmul,
+                                                  pack_int4)
+
+    rng = np.random.RandomState(0)
+    w = rng.randn(256, 384).astype(np.float32)
+    p, s = pack_int4(w, group=64)
+    assert p.dtype == jnp.uint8 and p.shape == (128, 384)
+    assert s.shape == (4, 384)
+    wd = np.asarray(dequant_int4(p, s, group=64))
+    err = np.abs(wd - w).reshape(4, 64, 384)
+    amax = np.abs(w.reshape(4, 64, 384)).max(1, keepdims=True)
+    assert (err <= amax / 14 + 1e-6).all()
+
+    wd16 = dequant_int4(p, s, group=64, dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.randn(3, 256), jnp.bfloat16)
+    xe, xo = x[:, 0::2], x[:, 1::2]
+    want = (jax.lax.dot(xe, wd16[0::2],
+                        preferred_element_type=jnp.float32)
+            + jax.lax.dot(xo, wd16[1::2],
+                          preferred_element_type=jnp.float32))
+    got = int4_matmul(x, p, s, group=64, block_o=128, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want),
+        rtol=1e-2, atol=1e-2)   # output is bf16
