@@ -13,7 +13,6 @@ from __future__ import annotations
 import copy
 import json
 import os
-import random
 from typing import Any, Dict, List, Optional
 
 import numpy as np

@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def pack_int4(w, group: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -16,7 +16,6 @@ whose image is a dummy.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
