@@ -172,3 +172,104 @@ def test_conv_encoder_matches_reference(ref_path):
                                                                jnp.asarray(x)))
     np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1),
                                rtol=2e-4, atol=2e-4)
+
+
+def _fast_tokenizer():
+    """Tiny HF fast tokenizer (offsets-capable) shared by both sides."""
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import PreTrainedTokenizerFast
+
+    # ByteLevel keeps newlines/spaces inside tokens so char_to_token
+    # resolves at separator positions (like the real LLaMA tokenizer)
+    t = Tokenizer(models.WordLevel(vocab={"<unk>": 0}, unk_token="<unk>"))
+    t.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    return PreTrainedTokenizerFast(tokenizer_object=t, unk_token="<unk>")
+
+
+def test_instruction_v1_label_spans_match_reference(ref_path):
+    """Per-round user-turn mask spans (char_to_token) parity with the
+    reference preprocess_v1 (instruction_dataset.py:262-326) -- SURVEY
+    'hard part': the fiddly label-mask construction."""
+    import types
+    pytest.importorskip("tokenizers")
+    from libra.data.datasets.instruction_dataset import LazySupervisedDataset as InstructionDataset
+    from libra.data.datasets import conversation as ref_conv
+
+    from libra_tpu.data.instruction import InstructionDataset as Ours
+    from libra_tpu.data import conversation as our_conv
+
+    hf = _fast_tokenizer()
+    num_img = 4
+    ph = (" <img_ph>" * num_img).strip()
+    source = [
+        {"from": "human", "value": ph + "\nwhat is in the image?"},
+        {"from": "gpt", "value": "A small cat."},
+        {"from": "human", "value": "are you sure about that?"},
+        {"from": "gpt", "value": "Yes, quite sure."},
+    ]
+
+    ref_self = types.SimpleNamespace(
+        tokenizer=hf, conversation=ref_conv.conv_templates["v1"].copy(),
+        num_img_tokens=num_img, modeling_image=True)
+    want_text, want_spans = InstructionDataset.preprocess_v1(
+        ref_self, [source])
+
+    our_self = types.SimpleNamespace(
+        tokenizer=types.SimpleNamespace(encode_with_spans=lambda s: hf(s)),
+        conversation=our_conv.conv_templates["v1"].copy(),
+        num_img_tokens=num_img, modeling_image=True)
+    got_text, got_spans = Ours._preprocess_v1(our_self, source)
+
+    assert got_text == want_text
+    assert [tuple(s) for s in got_spans] == [tuple(s) for s in want_spans]
+
+    # text-only source (no image placeholders)
+    src2 = [{"from": "human", "value": "hello there"},
+            {"from": "gpt", "value": "General greeting."}]
+    want = InstructionDataset.preprocess_v1(ref_self, [src2])
+    got = Ours._preprocess_v1(our_self, src2)
+    assert got[0] == want[0]
+    assert [tuple(s) for s in got[1]] == [tuple(s) for s in want[1]]
+
+
+def test_laion_caption_spans_match_reference(ref_path):
+    """LAION caption assembly + label-mask spans parity with
+    LaionDataset.process_caption (laion_dataset.py:178-241), both i2t
+    (image=background) and t2i (image=respond) directions."""
+    import types
+    pytest.importorskip("tokenizers")
+    from libra.data.datasets.laion_dataset import LaionDataset
+
+    from libra_tpu.data.caption_format import build_caption, label_mask_spans
+
+    hf = _fast_tokenizer()
+    ph = ("<img_ph> " * 4).strip()
+    ref_self = types.SimpleNamespace(tokenizer=hf, add_newline_sep=False)
+    hf.add_eos_token = False
+
+    cases = [
+        dict(background=ph, respond="a cute dog on grass",
+             instuction="describe the image", img_type="background"),
+        dict(background=ph, respond="a cute dog on grass",
+             instuction="", img_type="background"),
+        dict(background="a cute dog on grass", respond=ph,
+             instuction="", img_type="respond"),
+        dict(background="a cute dog on grass", respond=ph,
+             instuction="draw this", img_type="respond"),
+    ]
+    for strategy in ("prompt", "instruction", "none"):
+        for case in cases:
+            want_cap, want_spans = LaionDataset.process_caption(
+                ref_self, label_mask_strategy=strategy, **case)
+            got_cap, instruction_ = build_caption(
+                case["background"], case["respond"], case["instuction"],
+                case["img_type"])
+            tok = types.SimpleNamespace(
+                encode_with_spans=lambda s: hf(s, return_length=True),
+                add_eos_token=False)
+            got_spans = label_mask_spans(
+                tok, got_cap, case["background"].strip(), instruction_,
+                case["img_type"], label_mask_strategy=strategy)
+            assert got_cap == want_cap, (strategy, case)
+            assert ([tuple(s) for s in got_spans]
+                    == [tuple(s) for s in want_spans]), (strategy, case)
