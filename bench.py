@@ -124,12 +124,18 @@ def bench_vqa_fused(num_layers=8, B=1, text_len=32):
     _sync(g(inputs, gen1).sequences)    # compile
     _sync(g(inputs, gen128).sequences)  # compile
 
-    t0 = time.perf_counter()
-    _sync(g(inputs, gen1).sequences)
-    ttft = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _sync(g(inputs, gen128).sequences)
-    t128 = time.perf_counter() - t0
+    def best(f, n=2):
+        # best-of-n: the remote tunnel occasionally stalls a single call
+        # by hundreds of ms, which would otherwise corrupt the measurement
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            f()
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    ttft = best(lambda: _sync(g(inputs, gen1).sequences))
+    t128 = best(lambda: _sync(g(inputs, gen128).sequences))
     tok_s = 127 * B / max(t128 - ttft, 1e-9)
     return ttft, tok_s
 
@@ -201,9 +207,12 @@ def bench_decode_full_int8(B=4, text_len=32, max_new=64):
     g = Generator(params, cfg)
 
     _sync(g(inputs, gen).sequences)    # compile + run
-    t0 = time.perf_counter()
-    _sync(g(inputs, gen).sequences)
-    dt = time.perf_counter() - t0
+    dt = None
+    for _ in range(2):                 # best-of-2 (tunnel stall guard)
+        t0 = time.perf_counter()
+        _sync(g(inputs, gen).sequences)
+        d = time.perf_counter() - t0
+        dt = d if dt is None else min(dt, d)
     return max_new * B / dt, dt
 
 
