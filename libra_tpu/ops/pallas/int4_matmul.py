@@ -27,8 +27,9 @@ def pack_int4(w, group: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray]:
     scales (..., K/group, O) float32)."""
     w = jnp.asarray(w)
     K, O = w.shape[-2:]
-    if K % (2 * group) and K % group:
-        raise ValueError(f"K={K} must be divisible by group={group}")
+    if K % group or group % 2:
+        raise ValueError(
+            f"K={K} must be divisible by group={group}, group must be even")
     gshape = w.shape[:-2] + (K // group, group, O)
     amax = jnp.max(jnp.abs(w.reshape(gshape)), axis=-2, keepdims=True)
     scale = jnp.where(amax > 0, amax, 1.0).astype(jnp.float32) / 7.0
