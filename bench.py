@@ -1,5 +1,4 @@
-"""Benchmark: greedy decode throughput of the flagship Libra decoder on one
-TPU chip, plus vision encode+tokenize throughput.
+"""Benchmark suite for the flagship Libra model on one TPU chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": null, "extra": {...}}
@@ -7,10 +6,16 @@ Prints ONE JSON line:
 vs_baseline is null: the reference publishes no performance numbers
 (BASELINE.md -- "published: {}").
 
-The decode model is the full 4096-dim Libra architecture (routed dual-path
-projections, rank-8 bridge attention, 2-codebook heads) with the layer count
-trimmed to fit a single v5e chip in bf16; per-layer cost is uniform, so
-32-layer full-model throughput ~= value * (layers/32) on an 8-chip mesh.
+Headline metric: greedy decode tokens/sec of the FULL 32-layer 11B model
+(weight-only int8 + int8 KV cache) on a single chip -- a configuration the
+bf16 reference cannot run on 16 GB at all. Extras: vision encode+tokenize
+throughput (CLIP ViT-L + LFQ) and the fused single-image-VQA shape (TTFT +
+decode rate with CLIP+VQGAN encode hidden inside the prefill program,
+8-layer bf16 variant).
+
+Every stage runs in its own subprocess with a hard timeout (a wedged
+remote-TPU tunnel hangs instead of failing) and timed passes are best-of-2
+(the tunnel occasionally stalls a single call).
 """
 
 from __future__ import annotations
