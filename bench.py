@@ -232,7 +232,7 @@ def _stage(name, t0):
 # hang the whole bench. The child prints one JSON dict of results.
 _STAGES = {
     "vision_encode": (lambda: {"vision_encode_img_s_b8":
-                               round(bench_vision_encode(), 2)}, 600),
+                               round(bench_vision_encode(), 2)}, 480),
     "vqa_fused": (lambda: dict(zip(
         ("vqa_fused_ttft_ms", "vqa_fused_decode_tok_s"),
         (lambda r: (round(r[0] * 1000, 1), round(r[1], 2)))(
@@ -240,7 +240,7 @@ _STAGES = {
     "decode_full32_int8": (lambda: (lambda r: {
         "decode_full32_tok_s": round(r[0], 2),
         "decode_full32_wall_s": round(r[1], 3)})(
-            bench_decode_full_int8()), 900),
+            bench_decode_full_int8()), 720),
 }
 
 
