@@ -47,8 +47,17 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     for f in files:
         if f.suffix == ".safetensors":
-            from safetensors.numpy import load_file
-            out.update(load_file(str(f)))
+            try:
+                from safetensors.numpy import load_file
+                out.update(load_file(str(f)))
+            except (TypeError, ValueError):
+                # bf16 tensors have no numpy dtype; mirror the .bin path and
+                # upcast through torch (common for LLaMA-family exports)
+                import torch
+                from safetensors.torch import load_file as load_pt
+                for k, v in load_pt(str(f)).items():
+                    out[k] = (v.float().numpy()
+                              if v.dtype == torch.bfloat16 else v.numpy())
         else:
             import torch
             sd = torch.load(str(f), map_location="cpu", weights_only=True)

@@ -52,10 +52,15 @@ def _filter_top_p(logits: jax.Array, p: float) -> jax.Array:
     sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
-    # keep the smallest set with cumulative prob >= p (always keep top-1)
-    cutoff_mask = cum - probs >= p
-    cutoff = jnp.where(cutoff_mask, sorted_logits, -jnp.inf)
-    threshold = jnp.max(cutoff, axis=-1, keepdims=True)
+    # keep the smallest set with cumulative prob > p (always keeps top-1):
+    # token i is REMOVED iff the cumulative prob before it already exceeds p
+    # (HF TopPLogitsWarper semantics used by the reference sample() path).
+    # The threshold is the MINIMUM of the KEPT logits; anything strictly
+    # below it goes (the boundary token itself is removed because it sits
+    # below the last kept logit in sorted order).
+    removed = cum - probs > p
+    kept = jnp.where(removed, jnp.inf, sorted_logits)
+    threshold = jnp.min(kept, axis=-1, keepdims=True)
     return jnp.where(logits < threshold, -jnp.inf, logits)
 
 

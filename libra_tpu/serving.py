@@ -89,6 +89,11 @@ class ServingEngine:
                 "the serving engine does not carry the 2D-mode hidden ring "
                 "buffer; use libra_tpu.generation.Generator for 2D "
                 "checkpoints (default checkpoints are 1d)")
+        if cfg.use_2d_rope:
+            raise NotImplementedError(
+                "the serving engine derives 1D position ids; 2D-RoPE "
+                "checkpoints need the 2D position carry of "
+                "libra_tpu.generation.Generator")
         self.cfg = cfg
         self.params = jax.device_put(params)
         self.B = max_batch

@@ -160,6 +160,33 @@ def test_sampling_generation(stack):
     assert (seq >= 0).all()
 
 
+def test_top_p_filter_nucleus_sets():
+    """_filter_top_p must keep exactly the smallest prefix of the sorted
+    distribution whose cumulative prob exceeds p (HF TopPLogitsWarper
+    semantics, used by the reference sample() path)."""
+    from libra_tpu.generation import _filter_top_p
+
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.2]]))
+    kept = np.isfinite(np.asarray(_filter_top_p(logits, 0.7)))
+    np.testing.assert_array_equal(kept, [[True, True, False]])
+
+    # p below top-1 keeps only the argmax
+    kept = np.isfinite(np.asarray(_filter_top_p(logits, 0.4)))
+    np.testing.assert_array_equal(kept, [[True, False, False]])
+
+    # p ~ 1 keeps everything; unsorted input order must not matter
+    shuffled = jnp.log(jnp.asarray([[0.2, 0.5, 0.3]]))
+    kept = np.isfinite(np.asarray(_filter_top_p(shuffled, 0.99)))
+    np.testing.assert_array_equal(kept, [[True, True, True]])
+    kept = np.isfinite(np.asarray(_filter_top_p(shuffled, 0.7)))
+    np.testing.assert_array_equal(kept, [[False, True, True]])
+
+    # kept probabilities renormalise over the nucleus only
+    filtered = _filter_top_p(logits, 0.7)
+    probs = np.asarray(jax.nn.softmax(filtered, axis=-1))
+    np.testing.assert_allclose(probs[0], [0.625, 0.375, 0.0], atol=1e-6)
+
+
 def test_decode_roundtrip_text_and_image(stack):
     cfg, _, params, tok = stack
     Mv = cfg.max_vision_token_length
