@@ -30,10 +30,21 @@ from libra_tpu.ops.attention import (AttentionInputs, BIG_NEG, bridged_attention
                                      causal_bias)
 from libra_tpu.ops.norm import rms_norm
 from libra_tpu.ops.rope import apply_rope, apply_rope_2d, rope_cos_sin
-from libra_tpu.ops.routed import (low_rank_linear, routed_linear,
-                                  routed_low_rank, select_by_flag)
+from libra_tpu.ops.routed import (low_rank_linear, routed_dropout,
+                                  routed_linear, routed_low_rank,
+                                  select_by_flag)
 
 Params = Dict[str, Any]
+
+
+def dropout_enabled(cfg: LibraConfig) -> bool:
+    """True when any reference pdrop field is nonzero (the train step must
+    then supply a dropout_rng; reference: configuration_libra.py pdrops
+    applied at modeling_llama.py:226-228, modeling_libra.py:254,426-427,
+    543-551,767)."""
+    return any(r > 0.0 for r in (cfg.resid_pdrop, cfg.attn_pdrop,
+                                 cfg.embd_pdrop, cfg.vision_embd_pdrop,
+                                 cfg.vision_resid_pdrop))
 
 
 # ---------------------------------------------------------------------------
@@ -319,7 +330,8 @@ def _choose_block_q(nq: int) -> Optional[int]:
 
 def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
                cos, sin, position_ids, bias, kv_flag,
-               cache_slice, attn_impl: str = "xla") -> Tuple[jax.Array, Any]:
+               cache_slice, attn_impl: str = "xla",
+               dropout_rng: Optional[jax.Array] = None) -> Tuple[jax.Array, Any]:
     """Routed attention with bridge. h is the (routed-)normed input.
 
     cache_slice: None (no cache) or per-layer dict of (B, S, H, d) buffers
@@ -328,6 +340,10 @@ def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
     H = cfg.num_attention_heads
     am = cfg.addition_mode
     a = p["attn"]
+    if dropout_rng is not None:
+        rng_attn, rng_o = jax.random.split(dropout_rng)
+    else:
+        rng_attn = rng_o = None
 
     def rproj(name):
         vp = a["vision_" + name[0]]  # vision_q / vision_k / vision_v
@@ -376,21 +392,29 @@ def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
             new_cache.update({"kb": ckb, "vb": cvb})
             kb, vb = rd(ckb), rd(cvb)
 
-    block_q = _choose_block_q(q.shape[1]) if attn_impl == "pallas" else None
+    # attention-prob dropout is only implemented on the XLA path; force it
+    # when active (the Pallas flash kernel never rematerialises the probs)
+    attn_drop_on = rng_attn is not None and cfg.attn_pdrop > 0.0
+    block_q = (_choose_block_q(q.shape[1])
+               if attn_impl == "pallas" and not attn_drop_on else None)
     if block_q is not None:
         from libra_tpu.ops.pallas.flash_bridge import flash_bridged_attention
         out = flash_bridged_attention(q, k, v, kb, vb, flag, kv_flag,
                                       bias, block_q=block_q)
     else:
         out = bridged_attention(AttentionInputs(q, k, v, kb, vb),
-                                flag, kv_flag, bias)
+                                flag, kv_flag, bias,
+                                dropout=(rng_attn, cfg.attn_pdrop))
     out = out.reshape(h.shape[0], h.shape[1], cfg.hidden_size)
     vo = a["vision_o"]
-    out = routed_linear(out, flag, a["o_proj"], vo["wa"], vo["wb"], am)
+    out = routed_linear(out, flag, a["o_proj"], vo["wa"], vo["wb"], am,
+                        dropout=(rng_o, cfg.resid_pdrop,
+                                 cfg.vision_resid_pdrop))
     return out, new_cache
 
 
-def _mlp(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array) -> jax.Array:
+def _mlp(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
+         dropout_rng: Optional[jax.Array] = None) -> jax.Array:
     """Routed SwiGLU MLP (reference: LibraMLP, modeling_libra.py:206-238).
     Note: LibraMLP routes strictly even in addition_mode (its forward never
     consults the flag's addition variant)."""
@@ -404,26 +428,35 @@ def _mlp(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array) -> jax.Arra
     up_v = low_rank_linear(h, m["vision_up"]["wa"], m["vision_up"]["wb"])
     vis = low_rank_linear(jax.nn.silu(gate_v) * up_v,
                           m["vision_down"]["wa"], m["vision_down"]["wb"])
-    return select_by_flag(flag, vis, lang)
+    out = select_by_flag(flag, vis, lang)
+    # per-path post-down_proj dropout (reference: modeling_libra.py:232-233);
+    # strict routing => per-position modality rate after the merge
+    return routed_dropout(dropout_rng, out, flag,
+                          cfg.vision_resid_pdrop, cfg.resid_pdrop)
 
 
 def decoder_layer(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
                   cos, sin, position_ids, bias, kv_flag,
-                  cache_slice, attn_impl: str = "xla") -> Tuple[jax.Array, Any]:
+                  cache_slice, attn_impl: str = "xla",
+                  dropout_rng: Optional[jax.Array] = None) -> Tuple[jax.Array, Any]:
     """One pre-norm decoder layer with separate vision RMSNorms
     (reference: LibraDecoderLayer, modeling_libra.py:416-491)."""
     eps = cfg.rms_norm_eps
+    if dropout_rng is not None:
+        rng_attn, rng_mlp = jax.random.split(dropout_rng)
+    else:
+        rng_attn = rng_mlp = None
     hn = select_by_flag(flag,
                         rms_norm(h, p["vision_input_layernorm"], eps),
                         rms_norm(h, p["input_layernorm"], eps))
     attn_out, new_cache = _attention(p, cfg, hn, flag, cos, sin,
                                      position_ids, bias, kv_flag, cache_slice,
-                                     attn_impl)
+                                     attn_impl, dropout_rng=rng_attn)
     h = h + attn_out
     hn2 = select_by_flag(flag,
                          rms_norm(h, p["vision_post_attention_layernorm"], eps),
                          rms_norm(h, p["post_attention_layernorm"], eps))
-    h = h + _mlp(p, cfg, hn2, flag)
+    h = h + _mlp(p, cfg, hn2, flag, dropout_rng=rng_mlp)
     return h, new_cache
 
 
@@ -442,18 +475,29 @@ def forward(params: Params, cfg: LibraConfig, input_ids: jax.Array,
             position_ids: Optional[jax.Array] = None,
             cache: Optional[KVCache] = None,
             remat: bool = False,
-            attn_impl: str = "xla") -> ModelOutput:
+            attn_impl: str = "xla",
+            dropout_rng: Optional[jax.Array] = None) -> ModelOutput:
     """Backbone forward (reference: LibraModel.forward, modeling_libra.py:680-831).
 
     input_ids: (Q, B, N) combined-vocab ids.
     attention_mask: (B, N) without cache, or (B, max_cache_len) with cache
       (slots >= written prompt+generated are 0).
     vision_indices: (B, N) in [0, 578]; 578 == text.
+    dropout_rng: per-step rng enabling train-time dropout at the reference's
+      sites (embd/attn/resid and their vision_* twins); None = eval/decode
+      (nn.Dropout identity).
     """
     flag = vision_indices < cfg.max_vision_token_length
     B, N = flag.shape
+    if dropout_rng is not None and not dropout_enabled(cfg):
+        dropout_rng = None       # all rates 0: skip the rng plumbing
     h = embed_inputs(params, cfg, input_ids, flag, contiguous_signal,
                      vision_indices)
+    if dropout_rng is not None:
+        dropout_rng, rng_embd = jax.random.split(dropout_rng)
+        # routed embedding dropout (reference: modeling_libra.py:767)
+        h = routed_dropout(rng_embd, h, flag,
+                           cfg.vision_embd_pdrop, cfg.embd_pdrop)
 
     if cache is None:
         rope_len = max(cfg.max_position_embeddings, N)
@@ -480,7 +524,13 @@ def forward(params: Params, cfg: LibraConfig, input_ids: jax.Array,
 
     cos, sin = rope_cos_sin(rope_len, cfg.head_dim, cfg.rope_theta)
 
+    layer_rngs = (jax.random.split(dropout_rng, cfg.num_hidden_layers)
+                  if dropout_rng is not None else None)
+
     def body(carry_h, xs):
+        rng = None
+        if layer_rngs is not None:
+            xs, rng = xs
         if cache is None:
             p = xs
             cache_slice = None
@@ -489,20 +539,23 @@ def forward(params: Params, cfg: LibraConfig, input_ids: jax.Array,
             cache_slice = dict(c, index=cache.index)
         new_h, new_c = decoder_layer(p, cfg, carry_h, flag, cos, sin,
                                      position_ids, bias, kv_flag, cache_slice,
-                                     attn_impl)
+                                     attn_impl, dropout_rng=rng)
         return new_h, new_c
 
     if remat:
         body = jax.checkpoint(body)
 
+    def scan_xs(xs):
+        return (xs, layer_rngs) if layer_rngs is not None else xs
+
     if cache is None:
-        h, _ = jax.lax.scan(body, h, params["layers"])
+        h, _ = jax.lax.scan(body, h, scan_xs(params["layers"]))
         new_cache = None
     else:
         per_layer = {"k": cache.k, "v": cache.v}
         if cfg.use_bridge:
             per_layer.update({"kb": cache.kb, "vb": cache.vb})
-        h, outs = jax.lax.scan(body, h, (params["layers"], per_layer))
+        h, outs = jax.lax.scan(body, h, scan_xs((params["layers"], per_layer)))
         new_cache = KVCache(
             k=outs["k"], v=outs["v"],
             kb=outs.get("kb"), vb=outs.get("vb"),

@@ -46,6 +46,7 @@ def bridged_attention(
     flag_q: jax.Array,       # (B, Nq) bool: query token is vision
     flag_kv: jax.Array,      # (B, Nk) bool: key/value token is vision
     bias: jax.Array,         # (B, 1, Nq, Nk) additive mask (0 or BIG_NEG)
+    dropout: Optional[tuple] = None,  # (rng, attn_pdrop) on the probs
 ) -> jax.Array:
     """Returns (B, Nq, H, d). XLA-path implementation; a fused Pallas kernel
     with identical semantics lives in libra_tpu/ops/pallas/flash_bridge.py.
@@ -69,6 +70,15 @@ def bridged_attention(
     # fp32 softmax with min-clamp, matching modeling_libra.py:386-391
     s = jnp.maximum(s, BIG_NEG)
     a = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+
+    if dropout is not None:
+        rng, rate = dropout
+        if rng is not None and rate > 0.0:
+            # dropout on the attention matrix, BEFORE both V dots -- the
+            # reference's attn_with_bridge consumes the dropped matrix
+            # (modeling_llama.py:392 then modeling_libra.py:394-395)
+            from libra_tpu.ops.routed import apply_dropout
+            a = apply_dropout(rng, a, rate)
 
     out = jnp.einsum("bhqk,bkhd->bqhd", a, v)
     if use_bridge:

@@ -28,6 +28,32 @@ def select_by_flag(flag: jax.Array, vision: jax.Array, language: jax.Array) -> j
     return jnp.where(f, vision, language)
 
 
+def apply_dropout(rng: Optional[jax.Array], x: jax.Array,
+                  rate: float) -> jax.Array:
+    """Inverted (train-time scaled) dropout, torch nn.Dropout semantics.
+    Identity when rate == 0 or rng is None (eval)."""
+    if rng is None or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+
+
+def routed_dropout(rng: Optional[jax.Array], x: jax.Array, flag: jax.Array,
+                   rate_vis: float, rate_lang: float) -> jax.Array:
+    """Per-position modality-routed dropout: vision positions drop at
+    rate_vis, language positions at rate_lang. Equivalent to the reference's
+    per-path nn.Dropout before the scatter-merge (each position takes
+    exactly one path in select mode)."""
+    if rng is None or (rate_vis == 0.0 and rate_lang == 0.0):
+        return x
+    extra = x.ndim - flag.ndim
+    f = flag.reshape(flag.shape + (1,) * extra)
+    keep_p = jnp.where(f, 1.0 - rate_vis, 1.0 - rate_lang)
+    u = jax.random.uniform(rng, x.shape)
+    keep = u < keep_p
+    return jnp.where(keep, x / keep_p.astype(x.dtype), jnp.zeros_like(x))
+
+
 def low_rank_linear(x: jax.Array, wa: jax.Array, wb: jax.Array) -> jax.Array:
     """Factored linear y = (x @ wa) @ wb.
 
@@ -41,16 +67,28 @@ def low_rank_linear(x: jax.Array, wa: jax.Array, wb: jax.Array) -> jax.Array:
 
 def routed_linear(x: jax.Array, flag: jax.Array, w_lang: jax.Array,
                   wa_vis: jax.Array, wb_vis: jax.Array,
-                  addition_mode: bool = False) -> jax.Array:
+                  addition_mode: bool = False,
+                  dropout: Optional[tuple] = None) -> jax.Array:
     """Dense routed projection.
 
     Language path: full-rank x @ w_lang. Vision path: low-rank (x@wa)@wb.
     addition_mode adds the vision output on top of the language output at
     vision positions instead of replacing it
     (reference: modeling_libra.py:111-127).
+
+    dropout: optional (rng, rate_lang, rate_vis) applied per path BEFORE the
+    merge -- in addition_mode the two summed terms get independent masks,
+    matching the reference's [o_proj, resid_drop] / [vision_o_proj,
+    vision_resid_drop] module lists (modeling_libra.py:409).
     """
     lang = jnp.einsum("...i,io->...o", x, w_lang.astype(x.dtype))
     vis = low_rank_linear(x, wa_vis, wb_vis)
+    if dropout is not None:
+        rng, rate_lang, rate_vis = dropout
+        if rng is not None and (rate_lang > 0.0 or rate_vis > 0.0):
+            rl, rv = jax.random.split(rng)
+            lang = apply_dropout(rl, lang, rate_lang)
+            vis = apply_dropout(rv, vis, rate_vis)
     if addition_mode:
         return lang + select_by_flag(flag, vis, jnp.zeros_like(vis))
     return select_by_flag(flag, vis, lang)

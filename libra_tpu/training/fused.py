@@ -70,7 +70,8 @@ def _scatter_block(row: jax.Array, block: jax.Array, start) -> jax.Array:
 
 
 def fused_loss_fn(params, vq_params, cfg: LibraConfig, vq_cfg: VQGANConfig,
-                  batch: FusedBatch, remat: bool = True) -> jax.Array:
+                  batch: FusedBatch, remat: bool = True,
+                  dropout_rng=None) -> jax.Array:
     Q = cfg.vision_codebook_num
     B, N = batch.text_ids.shape
     Mv = cfg.max_vision_token_length
@@ -90,7 +91,8 @@ def fused_loss_fn(params, vq_params, cfg: LibraConfig, vq_cfg: VQGANConfig,
 
     flag = batch.vision_indices < Mv
     out = M.forward(params, cfg, ids, batch.attention_mask,
-                    batch.vision_indices, sig, remat=remat)
+                    batch.vision_indices, sig, remat=remat,
+                    dropout_rng=dropout_rng)
     tl = M.compute_text_logits(params, out.hidden_states)
     if cfg.vision_prediction_mode == "2d":
         vl = M.compute_vision_logits_2d(params, cfg, out.hidden_states,
@@ -102,10 +104,14 @@ def fused_loss_fn(params, vq_params, cfg: LibraConfig, vq_cfg: VQGANConfig,
 
 
 def make_fused_train_step(cfg: LibraConfig, vq_cfg: VQGANConfig,
-                          opt: optax.GradientTransformation):
+                          opt: optax.GradientTransformation,
+                          dropout_seed: int = 0):
     def step(state: TrainState, vq_params, batch: FusedBatch):
+        rng = (jax.random.fold_in(jax.random.PRNGKey(dropout_seed),
+                                  state.step)
+               if M.dropout_enabled(cfg) else None)
         loss, grads = jax.value_and_grad(fused_loss_fn)(
-            state.params, vq_params, cfg, vq_cfg, batch)
+            state.params, vq_params, cfg, vq_cfg, batch, dropout_rng=rng)
         updates, new_opt = opt.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return (TrainState(new_params, new_opt, state.step + 1),

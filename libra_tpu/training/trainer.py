@@ -42,7 +42,8 @@ def init_state(params: Any, opt: optax.GradientTransformation) -> TrainState:
 
 
 def loss_fn(params: Any, cfg: LibraConfig, batch: Dict[str, Any],
-            remat: bool = True) -> jax.Array:
+            remat: bool = True,
+            dropout_rng: Optional[jax.Array] = None) -> jax.Array:
     """Per-codebook shifted CE averaged over codebooks
     (reference: modeling_libra.py:1159-1174).
 
@@ -50,7 +51,7 @@ def loss_fn(params: Any, cfg: LibraConfig, batch: Dict[str, Any],
            coninous_signal (B,N,C) or None, labels (Q,B,N) with -100."""
     out = M.forward(params, cfg, batch["input_ids"], batch["attention_mask"],
                     batch["vision_indices"], batch.get("coninous_signal"),
-                    remat=remat)
+                    remat=remat, dropout_rng=dropout_rng)
     flag = batch["vision_indices"] < cfg.max_vision_token_length
     tl = M.compute_text_logits(params, out.hidden_states)
     if cfg.vision_prediction_mode == "2d":
@@ -63,9 +64,15 @@ def loss_fn(params: Any, cfg: LibraConfig, batch: Dict[str, Any],
 
 
 def train_step(state: TrainState, batch: Dict[str, Any], *,
-               cfg: LibraConfig, opt: optax.GradientTransformation
+               cfg: LibraConfig, opt: optax.GradientTransformation,
+               dropout_seed: int = 0
                ) -> Tuple[TrainState, Dict[str, jax.Array]]:
-    loss, grads = jax.value_and_grad(loss_fn)(state.params, cfg, batch)
+    # per-step dropout rng (only materialised when any pdrop > 0): the
+    # step counter keys the fold so resume reproduces the same masks
+    rng = (jax.random.fold_in(jax.random.PRNGKey(dropout_seed), state.step)
+           if M.dropout_enabled(cfg) else None)
+    loss, grads = jax.value_and_grad(loss_fn)(state.params, cfg, batch,
+                                              dropout_rng=rng)
     updates, new_opt = opt.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     metrics = {
