@@ -644,20 +644,15 @@ def assemble_logits(cfg: LibraConfig, text_logits: jax.Array,
     return jnp.concatenate([tl, vl], axis=-1)
 
 
-def multicodebook_loss(cfg: LibraConfig, text_logits: jax.Array,
-                       vision_logits: jax.Array, flag: jax.Array,
-                       labels: jax.Array, unified: bool = False) -> jax.Array:
-    """Per-codebook shifted CE over the combined vocab, averaged over
-    codebooks (reference: modeling_libra.py:1159-1174).
+def multicodebook_loss_terms(cfg: LibraConfig, text_logits: jax.Array,
+                             vision_logits: jax.Array, flag: jax.Array,
+                             labels: jax.Array, unified: bool = False
+                             ) -> Tuple[jax.Array, jax.Array]:
+    """Unnormalised per-codebook CE terms: (nll_sums (Q,), valid_counts (Q,)).
 
-    labels: (Q, B, N) combined-vocab ids, -100 = ignore. Exploits the -inf
-    placeholder structure: for a language position the combined softmax
-    reduces to softmax over the text slice, and vice versa -- so we never
-    materialise (Q, B, N, 32514).
-
-    unified=True: the unified_head training variant (modeling_libra.py:
-    1054-1064) has NO placeholders at train time -- the softmax runs over
-    the real concatenation of both slices at every position.
+    The normalised loss is mean_q(nll_q / max(valid_q, 1)); exposing the raw
+    sums lets gradient accumulation normalise by GROUP totals so that
+    accumulated micro-batches match the concatenated batch exactly.
     """
     V = cfg.vocab_size
     tl = text_logits.astype(jnp.float32)
@@ -667,7 +662,7 @@ def multicodebook_loss(cfg: LibraConfig, text_logits: jax.Array,
 
     # shift: logits[t] predicts labels[t+1]
     shift_flag = flag[:, :-1]
-    total = jnp.float32(0.0)
+    nll_sums, valid_counts = [], []
     for q in range(cfg.vision_codebook_num):
         lab = labels[q][:, 1:]                         # (B, N-1)
         valid = lab != -100
@@ -694,9 +689,29 @@ def multicodebook_loss(cfg: LibraConfig, text_logits: jax.Array,
             logit = jnp.where(modality_ok, logit, BIG_NEG)
             lse = jnp.where(shift_flag, lse_vis[q][:, :-1], lse_text[:, :-1])
         nll = (lse - logit) * valid
-        denom = jnp.maximum(jnp.sum(valid), 1)
-        total = total + jnp.sum(nll) / denom
-    return total / cfg.vision_codebook_num
+        nll_sums.append(jnp.sum(nll))
+        valid_counts.append(jnp.sum(valid))
+    return jnp.stack(nll_sums), jnp.stack(valid_counts)
+
+
+def multicodebook_loss(cfg: LibraConfig, text_logits: jax.Array,
+                       vision_logits: jax.Array, flag: jax.Array,
+                       labels: jax.Array, unified: bool = False) -> jax.Array:
+    """Per-codebook shifted CE over the combined vocab, averaged over
+    codebooks (reference: modeling_libra.py:1159-1174).
+
+    labels: (Q, B, N) combined-vocab ids, -100 = ignore. Exploits the -inf
+    placeholder structure: for a language position the combined softmax
+    reduces to softmax over the text slice, and vice versa -- so we never
+    materialise (Q, B, N, 32514).
+
+    unified=True: the unified_head training variant (modeling_libra.py:
+    1054-1064) has NO placeholders at train time -- the softmax runs over
+    the real concatenation of both slices at every position.
+    """
+    nll, valid = multicodebook_loss_terms(cfg, text_logits, vision_logits,
+                                          flag, labels, unified)
+    return jnp.mean(nll / jnp.maximum(valid, 1))
 
 
 def force_eoi_newline(cfg: LibraConfig, logits: jax.Array,

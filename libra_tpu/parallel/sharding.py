@@ -153,13 +153,18 @@ def batch_spec() -> P:
 _CODEBOOK_MAJOR = {"input_ids", "labels"}
 
 
-def data_shardings(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+def data_shardings(mesh: Mesh, batch: Dict[str, Any],
+                   stacked: bool = False) -> Dict[str, Any]:
+    """stacked=True: leaves carry a leading micro-accumulation axis (A, ...)
+    which stays unsharded (every device scans all A micros of its local
+    batch shard)."""
+    lead = (None,) if stacked else ()
     out = {}
     for k, v in batch.items():
         if v is None:
             out[k] = None
         elif k in _CODEBOOK_MAJOR:
-            out[k] = NamedSharding(mesh, P(None, ("data", "fsdp")))
+            out[k] = NamedSharding(mesh, P(*lead, None, ("data", "fsdp")))
         else:
-            out[k] = NamedSharding(mesh, P(("data", "fsdp")))
+            out[k] = NamedSharding(mesh, P(*lead, ("data", "fsdp")))
     return out

@@ -1,10 +1,11 @@
 """Training harness: the reference's HF-Trainer loop re-built TPU-native.
 
 Covers the run-config surface of libra_pretrain.yaml / libra_instruction.yaml
-(SURVEY.md section 2.4): max_steps/epochs, gradient accumulation via batch
-stacking, eval every eval_steps (loss-only), checkpoint save/resume via
-Orbax, rank-0 logging, per-step timing, and jax.profiler trace hooks (the
-reference had no tracing at all; SURVEY.md section 5 asks for it here).
+(SURVEY.md section 2.4): max_steps/epochs, real gradient accumulation
+(scan-of-micro-batches inside the compiled step; trainer.accum_train_step),
+eval every eval_steps (loss-only), checkpoint save/resume via Orbax, rank-0
+logging, per-step timing, and jax.profiler trace hooks (the reference had
+no tracing at all; SURVEY.md section 5 asks for it here).
 """
 
 from __future__ import annotations
@@ -161,15 +162,14 @@ class TrainHarness:
         for step in range(step0, self.cfg.max_steps):
             if self.cfg.profile_steps and step == self.cfg.profile_steps[0]:
                 jax.profiler.start_trace(str(self.out / "trace"))
-            accum = []
-            for _ in range(self.cfg.gradient_accumulation_steps):
-                accum.append(next(batches))
-            # gradient accumulation = concat micro-batches (the step psums
-            # over the combined batch; equivalent at fixed global batch)
-            batch = accum[0] if len(accum) == 1 else _concat_batches(
-                accum, self.wrapper)
-            arrays = self.wrapper.prepare_batch(batch, self.max_length)
-            metrics = self.trainer.step(arrays)
+            # REAL gradient accumulation: one rematerialised fwd/bwd per
+            # micro-batch inside the compiled step (trainer.accum_train_step)
+            # -- peak memory stays at micro-batch scale, result matches the
+            # concatenated batch exactly
+            micros = [self.wrapper.prepare_batch(next(batches),
+                                                 self.max_length)
+                      for _ in range(self.cfg.gradient_accumulation_steps)]
+            metrics = self.trainer.step_accum(micros)
 
             if self.cfg.profile_steps and step == self.cfg.profile_steps[-1]:
                 jax.profiler.stop_trace()
@@ -215,11 +215,3 @@ class TrainHarness:
             shutil.rmtree(p, ignore_errors=True)
 
 
-def _concat_batches(batches, wrapper):
-    out = {"samples": {}}
-    for b in batches:
-        for k, v in b["samples"].items():
-            out["samples"].setdefault(k, []).extend(v)
-    if any(b.get("return_loss") for b in batches):
-        out["return_loss"] = True
-    return out

@@ -88,6 +88,102 @@ def eval_step(state: TrainState, batch: Dict[str, Any], *,
     return loss_fn(state.params, cfg, batch, remat=False)
 
 
+def _group_loss_fn(params: Any, cfg: LibraConfig, batch: Dict[str, Any],
+                   denom: jax.Array,
+                   dropout_rng: Optional[jax.Array] = None) -> jax.Array:
+    """Micro-batch loss normalised by the accumulation GROUP's per-codebook
+    valid-label counts `denom` (Q,): summing this over the group's micros
+    reproduces the concatenated-batch loss (and gradient) exactly."""
+    out = M.forward(params, cfg, batch["input_ids"], batch["attention_mask"],
+                    batch["vision_indices"], batch.get("coninous_signal"),
+                    remat=True, dropout_rng=dropout_rng)
+    flag = batch["vision_indices"] < cfg.max_vision_token_length
+    tl = M.compute_text_logits(params, out.hidden_states)
+    if cfg.vision_prediction_mode == "2d":
+        vl = M.compute_vision_logits_2d(params, cfg, out.hidden_states,
+                                        batch["vision_indices"])
+    else:
+        vl = M.compute_vision_logits(params, out.hidden_states)
+    nll, _ = M.multicodebook_loss_terms(cfg, tl, vl, flag, batch["labels"],
+                                        unified=cfg.unified_head)
+    return jnp.mean(nll / denom)
+
+
+def accum_train_step(state: TrainState, batch: Dict[str, Any], *,
+                     cfg: LibraConfig, opt: optax.GradientTransformation,
+                     dropout_seed: int = 0
+                     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    """REAL gradient accumulation (reference shape: 8 micro x 4 accum,
+    libra_pretrain.yaml:95-96): batch leaves carry a leading micro axis
+    (A, ...); a `lax.scan` runs one rematerialised fwd/bwd per micro-batch
+    and accumulates gradients, so peak activation memory stays at
+    micro-batch scale while the result equals the concatenated batch
+    EXACTLY (losses are normalised by group-total valid counts, computed
+    from labels alone before the scan)."""
+    labels = batch["labels"]                      # (A, Q, B, N)
+    A = labels.shape[0]
+    denom = jnp.maximum(
+        jnp.sum(labels[..., 1:] != -100, axis=(0, 2, 3)), 1
+    ).astype(jnp.float32)                         # (Q,) group totals
+    enabled = M.dropout_enabled(cfg)
+    key = jax.random.fold_in(jax.random.PRNGKey(dropout_seed), state.step)
+
+    def body(carry, xs):
+        mb, idx = xs
+        rng = jax.random.fold_in(key, idx) if enabled else None
+        loss, grads = jax.value_and_grad(_group_loss_fn)(
+            state.params, cfg, mb, denom, dropout_rng=rng)
+        loss_sum, grad_sum = carry
+        return (loss_sum + loss,
+                jax.tree_util.tree_map(jnp.add, grad_sum, grads)), None
+
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+    (loss, grads), _ = jax.lax.scan(
+        body, (jnp.float32(0.0), zeros), (batch, jnp.arange(A)))
+    updates, new_opt = opt.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    metrics = {
+        "loss": loss,
+        "grad_norm": optax.global_norm(grads),
+        "step": state.step,
+    }
+    return TrainState(new_params, new_opt, state.step + 1), metrics
+
+
+# Batch arrays keyed by name: codebook-major leaves are (Q, B, N).
+_CODEBOOK_MAJOR = ("input_ids", "labels")
+
+
+def stack_micro_batches(micro_batches, cfg: LibraConfig) -> Dict[str, Any]:
+    """Right-pad each prepared micro-batch to the group's max sequence
+    length and stack on a new leading micro axis (A, ...). Pad values are
+    loss/attention-neutral: mask 0, labels -100, vision_indices = text."""
+    import numpy as np
+
+    pad_val = {"input_ids": cfg.pad_token_id, "attention_mask": 0,
+               "vision_indices": cfg.max_vision_token_length,
+               "labels": -100, "coninous_signal": 0.0}
+    N = max(mb["attention_mask"].shape[-1] for mb in micro_batches)
+
+    def pad_one(k, v):
+        v = np.asarray(v)
+        seq_axis = 2 if k in _CODEBOOK_MAJOR else 1
+        extra = N - v.shape[seq_axis]
+        if extra == 0:
+            return v
+        width = [(0, 0)] * v.ndim
+        width[seq_axis] = (0, extra)
+        return np.pad(v, width, constant_values=pad_val.get(k, 0))
+
+    out: Dict[str, Any] = {}
+    for k in micro_batches[0]:
+        if micro_batches[0][k] is None:
+            out[k] = None
+            continue
+        out[k] = np.stack([pad_one(k, mb[k]) for mb in micro_batches])
+    return out
+
+
 class Trainer:
     """Mesh-aware trainer: places params/optimizer state with GSPMD
     shardings and runs a single compiled train step."""
@@ -127,26 +223,42 @@ class Trainer:
         self._step = jax.jit(
             functools.partial(train_step, cfg=cfg, opt=self.opt),
             donate_argnums=(0,))
+        self._accum_step = jax.jit(
+            functools.partial(accum_train_step, cfg=cfg, opt=self.opt),
+            donate_argnums=(0,))
         self._eval = jax.jit(functools.partial(eval_step, cfg=cfg))
 
-    def shard_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
-        shardings = data_shardings(self.mesh, batch)
+    def shard_batch(self, batch: Dict[str, Any],
+                    stacked: bool = False) -> Dict[str, Any]:
+        shardings = data_shardings(self.mesh, batch, stacked=stacked)
         return {k: (None if v is None
                     else jax.device_put(jnp.asarray(v), shardings[k]))
                 for k, v in batch.items()}
 
-    def step(self, batch: Dict[str, Any]) -> Dict[str, jax.Array]:
+    def _run_step(self, fn, batch) -> Dict[str, jax.Array]:
         with jax.set_mesh(self.mesh):
             state = self.state
             if self._offload:
                 state = state._replace(opt_state=jax.device_put(
                     state.opt_state, self._dev_shard))
-            state, metrics = self._step(state, self.shard_batch(batch))
+            state, metrics = fn(state, batch)
             if self._offload:
                 state = state._replace(opt_state=jax.device_put(
                     state.opt_state, self._host_shard))
             self.state = state
         return metrics
+
+    def step(self, batch: Dict[str, Any]) -> Dict[str, jax.Array]:
+        return self._run_step(self._step, self.shard_batch(batch))
+
+    def step_accum(self, micro_batches) -> Dict[str, jax.Array]:
+        """One optimizer step accumulating over a list of prepared
+        micro-batches (real accumulation: peak memory ~ one micro-batch)."""
+        if len(micro_batches) == 1:
+            return self.step(micro_batches[0])
+        stacked = stack_micro_batches(micro_batches, self.cfg)
+        return self._run_step(self._accum_step,
+                              self.shard_batch(stacked, stacked=True))
 
     def evaluate(self, batches) -> float:
         losses = []

@@ -82,6 +82,89 @@ def test_sharded_matches_single_device(tiny):
     np.testing.assert_allclose(l1b, l8b, rtol=1e-3)
 
 
+def test_grad_accumulation_matches_concat(tiny):
+    """accum_train_step over A stacked micro-batches must equal one step on
+    the concatenated batch EXACTLY (group-total loss normalisation), even
+    with unbalanced valid-label counts across micros."""
+    cfg, params = tiny
+    mesh = make_mesh(data=2, fsdp=2, model=2)
+    opt_cfg = OptimizerConfig(learning_rate=1e-3, total_steps=100,
+                              warmup_ratio=0.0)
+
+    m1 = make_batch(cfg, B=4)
+    m2 = make_batch(cfg, B=4)
+    # unbalance the micros: mask out the last labels of micro 2 only
+    N = m2["labels"].shape[-1]
+    tail = jnp.arange(N) >= N - 3
+    m2 = dict(m2, labels=jnp.where(tail[None, None], -100, m2["labels"]))
+
+    concat = {k: (None if m1[k] is None
+                  else jnp.concatenate(
+                      [m1[k], m2[k]],
+                      axis=1 if k in ("input_ids", "labels") else 0))
+              for k in m1}
+
+    t_ref = Trainer(cfg, params, mesh, opt_cfg)
+    t_acc = Trainer(cfg, params, mesh, opt_cfg)
+    l_ref = t_ref.step(concat)
+    l_acc = t_acc.step_accum([m1, m2])
+    np.testing.assert_allclose(float(l_ref["loss"]), float(l_acc["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(l_ref["grad_norm"]),
+                               float(l_acc["grad_norm"]), rtol=1e-5)
+    for k in ("lm_head", "signal_proj"):
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(t_ref.state.params[k])),
+            np.asarray(jax.device_get(t_acc.state.params[k])),
+            atol=2e-6, rtol=1e-5)
+
+
+def test_grad_accumulation_reduces_peak_memory(tiny):
+    """The accumulation point: XLA's compiled temp (activation) memory for
+    an A-micro accumulated step must be well below the concatenated step's
+    (measured ~8.5x lower at A=8 on the CPU backend)."""
+    import functools
+    from libra_tpu.training.optimizer import make_optimizer
+    from libra_tpu.training.trainer import (accum_train_step, init_state,
+                                            train_step)
+
+    cfg, params = tiny
+    opt = make_optimizer(OptimizerConfig(total_steps=10, warmup_ratio=0.0),
+                         params)
+    state = jax.jit(functools.partial(init_state, opt=opt))(params)
+    A = 4
+    micro = make_batch(cfg, B=2)
+    concat = {k: jnp.concatenate(
+        [micro[k]] * A, axis=1 if k in ("input_ids", "labels") else 0)
+        for k in micro}
+    stacked = {k: jnp.stack([micro[k]] * A) for k in micro}
+    c1 = jax.jit(functools.partial(train_step, cfg=cfg, opt=opt)) \
+        .lower(state, concat).compile().memory_analysis()
+    c2 = jax.jit(functools.partial(accum_train_step, cfg=cfg, opt=opt)) \
+        .lower(state, stacked).compile().memory_analysis()
+    if c1 is None or c2 is None:
+        pytest.skip("memory_analysis unavailable on this backend")
+    assert c2.temp_size_in_bytes < 0.5 * c1.temp_size_in_bytes, \
+        (c1.temp_size_in_bytes, c2.temp_size_in_bytes)
+
+
+def test_stack_micro_batches_pads_neutral(tiny):
+    """Micros of different lengths stack via loss/attention-neutral padding."""
+    from libra_tpu.training.trainer import stack_micro_batches
+
+    cfg, _ = tiny
+    m1 = {k: np.asarray(v) for k, v in make_batch(cfg, B=2).items()}
+    m2 = {k: (v[..., :-2, :] if k == "coninous_signal" else v[..., :-2])
+          for k, v in m1.items()}
+    stacked = stack_micro_batches([m1, m2], cfg)
+    N = m1["attention_mask"].shape[-1]
+    assert stacked["input_ids"].shape == (2,) + m1["input_ids"].shape
+    assert (stacked["attention_mask"][1, :, -2:] == 0).all()
+    assert (stacked["labels"][1, :, :, -2:] == -100).all()
+    assert (stacked["vision_indices"][1, :, -2:]
+            == cfg.max_vision_token_length).all()
+
+
 def test_frozen_language_mask(tiny):
     cfg, params = tiny
     mask = trainable_mask(params, OptimizerConfig(frozen_language=True))
