@@ -27,7 +27,8 @@ class LaionDataset(PairSampleBuilder):
                  shape_ratio_threshold: Optional[float] = None,
                  continuous_prob_t2i: float = 0.0,
                  min_image_size: int = 0, large_init: bool = False,
-                 seed: int = 0, **kwargs):
+                 seed: int = 0, process_index: Optional[int] = None,
+                 process_count: Optional[int] = None, **kwargs):
         self.vis_processor = vis_processor
         self.text_processor = text_processor
         self.tokenizer = tokenizer
@@ -40,7 +41,12 @@ class LaionDataset(PairSampleBuilder):
         self.shape_ratio_threshold = shape_ratio_threshold
         self.continuous_prob_t2i = continuous_prob_t2i
         self.min_image_size = min_image_size
-        self._rng = random.Random(seed)
+        # per-host sample rng: the i2t/t2i coin flips must differ across
+        # hosts too, not just the shard streams (multi-host DP parity with
+        # the reference's per-rank DataLoader workers)
+        from libra_tpu.data.webdata import fold_process_seed, resolve_process
+        pi, pc = resolve_process(process_index, process_count)
+        self._rng = random.Random(fold_process_seed(seed, pi))
 
         bufsize, initial = (20000, 5000) if large_init else (5000, 1000)
         use_native = kwargs.get("native_reader", True)
@@ -52,7 +58,8 @@ class LaionDataset(PairSampleBuilder):
         self.stream = stream_cls(
             location, shuffle_bufsize=bufsize, shuffle_initial=initial,
             seed=seed, deterministic=deterministic,
-            map_fn=self.post_process)
+            map_fn=self.post_process,
+            process_index=pi, process_count=pc)
 
     def post_process(self, sample: Dict[str, Any]) -> Dict[str, Any]:
         caption_ = self.text_processor(sample["json"]["caption"])

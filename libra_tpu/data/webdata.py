@@ -21,9 +21,15 @@ from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional, Sequ
 logger = logging.getLogger(__name__)
 
 
+def is_remote(loc: str) -> bool:
+    return loc.startswith(("pipe:", "http://", "https://"))
+
+
 def expand_shards(location) -> List[str]:
     """Accept a list of paths, a glob pattern, or a brace pattern
-    `prefix-{000..123}.tar`."""
+    `prefix-{000..123}.tar`. Remote sources -- `pipe:<shell command>` and
+    http(s) URLs (the reference's wds.ResampledShards url/pipe semantics,
+    laion_dataset.py:61) -- support brace expansion but not globbing."""
     if isinstance(location, (list, tuple)):
         out: List[str] = []
         for loc in location:
@@ -36,16 +42,51 @@ def expand_shards(location) -> List[str]:
         lo, hi = spec.split("..")
         width = len(lo)
         return [f"{head}{i:0{width}d}{tail}" for i in range(int(lo), int(hi) + 1)]
+    if is_remote(loc):
+        return [loc]
     if any(ch in loc for ch in "*?["):
         p = Path(loc)
         return sorted(str(x) for x in p.parent.glob(p.name))
     return [loc]
 
 
+class _PipeStream:
+    """Subprocess-stdout stream that reaps the child on close."""
+
+    def __init__(self, cmd: str):
+        import subprocess
+        self._proc = subprocess.Popen(cmd, shell=True,
+                                      stdout=subprocess.PIPE)
+        self.read = self._proc.stdout.read
+
+    def close(self):
+        self._proc.stdout.close()
+        self._proc.wait()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def open_shard(shard_path: str):
+    """Open a shard as a (possibly non-seekable) binary stream: local file,
+    `pipe:<shell command>` (subprocess stdout), or http(s) URL."""
+    if shard_path.startswith("pipe:"):
+        return _PipeStream(shard_path[len("pipe:"):])
+    if shard_path.startswith(("http://", "https://")):
+        import urllib.request
+        return urllib.request.urlopen(shard_path)
+    return open(shard_path, "rb")
+
+
 def tar_samples(shard_path: str) -> Iterator[Dict[str, bytes]]:
     """Group tar members by key (path minus last extension) into sample
-    dicts {"__key__": key, ext: bytes, ...}."""
-    with tarfile.open(shard_path, mode="r|*") as tf:
+    dicts {"__key__": key, ext: bytes, ...}. Streams (mode "r|*"), so
+    non-seekable pipe/http sources work."""
+    with open_shard(shard_path) as fileobj, \
+            tarfile.open(fileobj=fileobj, mode="r|*") as tf:
         current: Dict[str, Any] = {}
         cur_key: Optional[str] = None
         for member in tf:
@@ -102,20 +143,52 @@ def decode_sample(sample: Dict[str, bytes]) -> Dict[str, Any]:
     return out
 
 
+def resolve_process(process_index: Optional[int],
+                    process_count: Optional[int]) -> tuple:
+    """Default the per-host split to the JAX multi-process runtime
+    (jax.process_index/count); explicit values win (tests, custom launch)."""
+    if process_index is not None and process_count is not None:
+        return process_index, process_count
+    try:
+        import jax
+        return jax.process_index(), jax.process_count()
+    except Exception:  # noqa: BLE001 -- no jax / uninitialised runtime
+        return 0, 1
+
+
+def fold_process_seed(seed: int, process_index: int) -> int:
+    """Distinct per-host stream seed (the reference's per-rank resampled
+    webdataset pipelines; a shared seed would feed every host identical
+    data on a multi-node run)."""
+    return seed + 1000003 * process_index
+
+
 class ShardStream:
     """Infinite resampled-shard sample stream with per-stage
-    skip-and-continue error handling."""
+    skip-and-continue error handling.
+
+    Multi-host: with process_count > 1 (auto-detected from
+    jax.process_count() or passed explicitly), resampled streams get a
+    per-process seed fold, and sequential (resample=False) streams take a
+    disjoint stride split of the shard list."""
 
     def __init__(self, location, *, shuffle_bufsize: int = 5000,
                  shuffle_initial: int = 1000, seed: int = 0,
                  deterministic: bool = True, resample: bool = True,
-                 map_fn: Optional[Callable] = None):
+                 map_fn: Optional[Callable] = None,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
         self.shards = expand_shards(location)
         if not self.shards:
             raise FileNotFoundError(f"no shards match {location}")
+        pi, pc = resolve_process(process_index, process_count)
+        if not resample and pc > 1:
+            split = self.shards[pi::pc]
+            if split:       # fewer shards than hosts: all hosts read all
+                self.shards = split
         self.shuffle_bufsize = shuffle_bufsize
         self.shuffle_initial = shuffle_initial
-        self.seed = seed
+        self.seed = fold_process_seed(seed, pi)
         self.deterministic = deterministic
         self.resample = resample
         self.map_fn = map_fn

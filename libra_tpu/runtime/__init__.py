@@ -77,14 +77,26 @@ class NativeShardStream:
     def __init__(self, location, *, shuffle_bufsize: int = 5000,
                  queue_depth: int = 256, seed: int = 0,
                  resample: bool = True, map_fn=None,
-                 deterministic: bool = True, shuffle_initial: int = 0):
-        from libra_tpu.data.webdata import expand_shards
+                 deterministic: bool = True, shuffle_initial: int = 0,
+                 process_index=None, process_count=None):
+        from libra_tpu.data.webdata import (expand_shards, fold_process_seed,
+                                            resolve_process)
         self.shards = expand_shards(location)
         if not self.shards:
             raise FileNotFoundError(f"no shards match {location}")
+        # http(s) sources stream through a curl pipe (the C++ reader's
+        # remote path is popen; pipe: shards pass through unchanged)
+        self.shards = [f"pipe:curl -fsSL '{s}'"
+                       if s.startswith(("http://", "https://")) else s
+                       for s in self.shards]
+        pi, pc = resolve_process(process_index, process_count)
+        if not resample and pc > 1:
+            split = self.shards[pi::pc]
+            if split:
+                self.shards = split
         self.shuffle_bufsize = shuffle_bufsize
         self.queue_depth = queue_depth
-        self.seed = seed if deterministic else 0
+        self.seed = fold_process_seed(seed, pi) if deterministic else 0
         self.resample = resample
         self.map_fn = map_fn
 

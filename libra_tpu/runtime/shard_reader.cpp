@@ -130,8 +130,25 @@ class ShardReader {
     cv_pop_.notify_one();
   }
 
+  // Read-based skip: pipe (popen) streams are not seekable, and tar pad
+  // skips are tiny (<512B) so read-to-skip costs nothing on files either.
+  static bool SkipBytes(FILE* f, uint64_t n) {
+    char scratch[4096];
+    while (n > 0) {
+      size_t chunk = n < sizeof(scratch) ? (size_t)n : sizeof(scratch);
+      size_t got = fread(scratch, 1, chunk, f);
+      if (got == 0) return false;
+      n -= got;
+    }
+    return true;
+  }
+
   void ReadShard(const std::string& path) {
-    FILE* f = fopen(path.c_str(), "rb");
+    // remote sources: "pipe:<shell command>" streams a subprocess's stdout
+    // (the reference's webdataset gopen pipe semantics; skip-and-continue
+    // on stream errors like every other stage)
+    const bool piped = path.rfind("pipe:", 0) == 0;
+    FILE* f = piped ? popen(path.c_str() + 5, "r") : fopen(path.c_str(), "rb");
     if (!f) {
       fprintf(stderr, "[shard_reader] cannot open %s -- skipping\n",
               path.c_str());
@@ -148,14 +165,14 @@ class ShardReader {
       bool is_file = hdr.typeflag == '0' || hdr.typeflag == '\0';
       auto dot = name.rfind('.');
       if (!is_file || dot == std::string::npos) {
-        fseek(f, (long)padded, SEEK_CUR);
+        if (!SkipBytes(f, padded)) break;
         continue;
       }
       std::string key = name.substr(0, dot);
       std::string ext = name.substr(dot + 1);
       buf.resize(size);
       if (fread(buf.data(), 1, size, f) != size) break;
-      if (padded > size) fseek(f, (long)(padded - size), SEEK_CUR);
+      if (padded > size && !SkipBytes(f, padded - size)) break;
 
       if (!current.key.empty() && current.key != key) {
         if (!current.jpg.empty() || !current.json.empty())
@@ -172,7 +189,7 @@ class ShardReader {
     if (!current.key.empty() &&
         (!current.jpg.empty() || !current.json.empty()))
       Emit(std::move(current));
-    fclose(f);
+    if (piped) pclose(f); else fclose(f);
   }
 
   void Run() {
