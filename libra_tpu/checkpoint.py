@@ -352,6 +352,68 @@ def convert_vqgan_encoder(sd: Dict[str, np.ndarray],
     return enc
 
 
+# torchvision VGG16 `features` indices of the 13 conv layers; the LPIPS
+# module preserves these indices inside its net.slice{1..5} submodules
+# (reference: taming/modules/losses/lpips.py:79-96)
+_VGG16_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+
+
+def _lpips_slice_of(feature_idx: int) -> int:
+    for s, hi in enumerate((4, 9, 16, 23, 30), start=1):
+        if feature_idx < hi:
+            return s
+    raise ValueError(feature_idx)
+
+
+def convert_vgg16_lpips(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """torch LPIPS weights -> the libra_tpu.models.vqgan_train lpips tree
+    {"vgg": {"convs": [{w HWIO, b}]*13}, "lins": [{w (1,1,C,1)}]*5}.
+
+    Accepts either naming scheme (or a merge of both):
+      * torchvision VGG16: `features.{i}.weight/bias` (the reference builds
+        its net from `models.vgg16(pretrained=True).features`,
+        lpips.py:17-18,82);
+      * reference LPIPS module state_dict: `net.slice{s}.{i}.weight/bias`
+        plus the downloaded vgg_lpips lin heads `lin{k}.model.1.weight`
+        (lpips.py:19-30, NetLinLayer 1x1 conv at model index 1).
+    """
+    def get(name):
+        if name in sd:
+            return np.asarray(sd[name])
+        return None
+
+    convs = []
+    for i in _VGG16_CONV_IDX:
+        s = _lpips_slice_of(i)
+        w = get(f"features.{i}.weight")
+        b = get(f"features.{i}.bias")
+        if w is None:
+            w = get(f"net.slice{s}.{i}.weight")
+            b = get(f"net.slice{s}.{i}.bias")
+        if w is None:
+            raise KeyError(f"VGG16 conv {i} missing (features.{i}.weight / "
+                           f"net.slice{s}.{i}.weight)")
+        convs.append({"w": np.ascontiguousarray(w.transpose(2, 3, 1, 0)),
+                      "b": np.asarray(b)})
+
+    lins = []
+    for k in range(5):
+        w = get(f"lin{k}.model.1.weight")
+        if w is None:
+            raise KeyError(f"LPIPS lin head lin{k}.model.1.weight missing "
+                           "(download the taming vgg_lpips checkpoint)")
+        lins.append({"w": np.ascontiguousarray(w.transpose(2, 3, 1, 0))})
+    return {"vgg": {"convs": convs}, "lins": lins}
+
+
+def load_lpips_params(vgg16_path: str, lpips_lins_path: str) -> Dict[str, Any]:
+    """Convenience loader: torchvision vgg16 state dict file + the taming
+    `vgg.pth` lin-head checkpoint -> converted LPIPS params."""
+    sd = dict(load_torch_state_dict(vgg16_path))
+    sd.update(load_torch_state_dict(lpips_lins_path))
+    return convert_vgg16_lpips(sd)
+
+
 def convert_vqgan_state_dict(sd: Dict[str, np.ndarray], cfg: VQGANConfig,
                              clip_params: Optional[Any] = None) -> Dict[str, Any]:
     """Reference VQModel state dict (vqgan.ckpt['state_dict'], loss keys

@@ -231,14 +231,21 @@ class VQGANTrainer:
 
     def __init__(self, cfg: VQGANConfig, params: Params,
                  loss_cfg: VQGANLossConfig = VQGANLossConfig(),
-                 lr: float = 4.5e-6, seed: int = 0):
+                 lr: float = 4.5e-6, seed: int = 0,
+                 lpips_params: Optional[Params] = None):
+        """lpips_params: pretrained LPIPS weights (VGG16 + lin heads) from
+        checkpoint.convert_vgg16_lpips / load_lpips_params -- REQUIRED for
+        a perceptually meaningful loss on real tokenizer training; the
+        random-init fallback only exercises the math."""
         self.cfg = cfg
         self.loss_cfg = loss_cfg
         key = jax.random.PRNGKey(seed)
         k1, k2 = jax.random.split(key)
         self.params = params
-        self.loss_params = {"lpips": init_lpips_params(k1),
-                            "disc": init_discriminator_params(k2)}
+        self.loss_params = {
+            "lpips": (lpips_params if lpips_params is not None
+                      else init_lpips_params(k1)),
+            "disc": init_discriminator_params(k2)}
         # AdamW betas (0.5, 0.9) (reference: vqgan.py:214-222)
         self.ae_opt = optax.adamw(lr, b1=0.5, b2=0.9)
         self.disc_opt = optax.adamw(lr, b1=0.5, b2=0.9)

@@ -221,3 +221,73 @@ def oracle_forward(sd: Dict[str, torch.Tensor], cfg, input_ids: np.ndarray,
         [F.linear(h, sd[f"vision_lm_head.heads.{q}.weight"]).float()
          for q in range(Q)])
     return text_logits.numpy(), vis_logits.numpy()
+
+
+# ---------------------------------------------------------------------------
+# LPIPS oracle (reference: taming/modules/losses/lpips.py)
+# ---------------------------------------------------------------------------
+
+_VGG16_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+_VGG16_POOL_IDX = (4, 9, 16, 23)
+_LPIPS_TAPS = (3, 8, 15, 22, 29)  # relu1_2, relu2_2, relu3_3, relu4_3, relu5_3
+_LPIPS_CHANNELS = (64, 128, 256, 512, 512)
+
+
+def make_lpips_state_dict(seed=0) -> Dict[str, torch.Tensor]:
+    """Random torchvision-VGG16 + vgg_lpips-lin-head-named state dict."""
+    g = torch.Generator().manual_seed(seed)
+    sd = {}
+    cin = 3
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+           512, 512, 512, "M", 512, 512, 512]
+    conv_iter = iter(_VGG16_CONV_IDX)
+    for c in cfg:
+        if c == "M":
+            continue
+        i = next(conv_iter)
+        sd[f"features.{i}.weight"] = torch.randn(c, cin, 3, 3, generator=g) \
+            * (9 * cin) ** -0.5
+        sd[f"features.{i}.bias"] = torch.randn(c, generator=g) * 0.05
+        cin = c
+    for k, c in enumerate(_LPIPS_CHANNELS):
+        sd[f"lin{k}.model.1.weight"] = torch.rand(1, c, 1, 1, generator=g) * 0.2
+    return sd
+
+
+def _vgg16_taps(sd, x):
+    """x NCHW through the VGG16 feature stack, returning the 5 LPIPS taps."""
+    h = x
+    feats = []
+    for i in range(30):
+        if i in _VGG16_CONV_IDX:
+            h = F.conv2d(h, sd[f"features.{i}.weight"],
+                         sd[f"features.{i}.bias"], padding=1)
+        elif i in _VGG16_POOL_IDX:
+            h = F.max_pool2d(h, 2)
+        else:
+            h = F.relu(h)
+        if i in _LPIPS_TAPS:
+            feats.append(h)
+    return feats
+
+
+def lpips_reference(sd: Dict[str, torch.Tensor], x: np.ndarray,
+                    y: np.ndarray) -> float:
+    """The reference LPIPS.forward on NCHW float inputs in [-1, 1]
+    (lpips.py:41-54: scaling layer, VGG taps, channel-unit-normalize,
+    squared diff, 1x1 lin heads, spatial average, sum over taps), batch
+    mean."""
+    shift = torch.tensor([-0.030, -0.088, -0.188])[None, :, None, None]
+    scale = torch.tensor([0.458, 0.448, 0.450])[None, :, None, None]
+    with torch.no_grad():
+        tx = (torch.from_numpy(x).float() - shift) / scale
+        ty = (torch.from_numpy(y).float() - shift) / scale
+        fx, fy = _vgg16_taps(sd, tx), _vgg16_taps(sd, ty)
+        val = 0.0
+        for k, (a, b) in enumerate(zip(fx, fy)):
+            na = a / (a.pow(2).sum(dim=1, keepdim=True).sqrt() + 1e-10)
+            nb = b / (b.pow(2).sum(dim=1, keepdim=True).sqrt() + 1e-10)
+            d = (na - nb) ** 2
+            r = F.conv2d(d, sd[f"lin{k}.model.1.weight"])
+            val = val + r.mean([2, 3], keepdim=True)
+        return float(val.mean())
