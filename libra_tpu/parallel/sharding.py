@@ -63,7 +63,14 @@ def _spec_for(path: str, ndim: int, layered: bool) -> P:
 
     # --- embeddings / heads ---
     if name == "embed_tokens":
-        return out(None, f)
+        # vocab-sharded (not feature-sharded): the feature axis must stay
+        # whole because the h-cotangent leaves the backward layer scan
+        # feature-MODEL-sharded (lm_head's reduce-scatter) while a
+        # feature-fsdp grad scatter would need a transposed-order all-to-all
+        # -- GSPMD falls back to full rematerialisation ("involuntary full
+        # rematerialization" warnings, VERDICT r1 item 8). Vocab-sharding
+        # keeps the same ZeRO memory split with a clean scatter path.
+        return out(f, None)
     if name == "vision_embed_tokens":
         return out(None, None, None)
     if name == "lm_head":
