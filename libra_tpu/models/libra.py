@@ -157,7 +157,10 @@ class KVCache(NamedTuple):
 
     k/kb/v/vb: (num_layers, B, max_len, H, head_dim); kb/vb absent (None)
     when use_bridge=False. flag: (B, max_len) vision flags of cached tokens.
-    index: scalar int32 -- number of tokens already written.
+    index: number of tokens already written -- scalar int32 (all rows in
+    lockstep, the Generator decode), or (B,) int32 for PER-SLOT timelines
+    (the serving engine: each slot owns positions [0, index_b) of its own
+    row and recycles independently).
     """
     k: jax.Array
     v: jax.Array
@@ -193,9 +196,22 @@ def init_cache(cfg: LibraConfig, batch: int, max_len: int,
     )
 
 
+def _write_seq(buf: jax.Array, new: jax.Array, index) -> jax.Array:
+    """Write `new` (B, N, ...) into `buf` (B, S, ...) at sequence offset
+    `index` -- scalar (same offset for every row) or (B,) per-row offsets."""
+    new = new.astype(buf.dtype)
+    if getattr(index, "ndim", 0) == 1:
+        def row(b, n, i):
+            return jax.lax.dynamic_update_slice(b, n, (i,) + (0,) * (b.ndim - 1))
+        return jax.vmap(row)(buf, new, index)
+    return jax.lax.dynamic_update_slice(
+        buf, new, (0, index) + (0,) * (buf.ndim - 2))
+
+
 def _write_cache(buf, new: jax.Array, index):
     """buf: (B, S, H, d) array or QuantizedArray(q, scale(B,S,H,1));
-    new: (B, N, H, d); write at [:, index:index+N]."""
+    new: (B, N, H, d); write at [:, index:index+N] (per-row when index is
+    a (B,) vector)."""
     from libra_tpu.quantization import QuantizedArray
 
     if isinstance(buf, QuantizedArray):
@@ -204,12 +220,9 @@ def _write_cache(buf, new: jax.Array, index):
         q = jnp.clip(jnp.round(new.astype(jnp.float32) / scale),
                      -127, 127).astype(jnp.int8)
         return QuantizedArray(
-            jax.lax.dynamic_update_slice(buf.q, q, (0, index, 0, 0)),
-            jax.lax.dynamic_update_slice(buf.scale,
-                                         scale.astype(buf.scale.dtype),
-                                         (0, index, 0, 0)))
-    return jax.lax.dynamic_update_slice(buf, new.astype(buf.dtype),
-                                        (0, index, 0, 0))
+            _write_seq(buf.q, q, index),
+            _write_seq(buf.scale, scale, index))
+    return _write_seq(buf, new, index)
 
 
 # ---------------------------------------------------------------------------
@@ -510,14 +523,14 @@ def forward(params: Params, cfg: LibraConfig, input_ids: jax.Array,
     else:
         S = cache.flag.shape[1]
         rope_len = max(cfg.max_position_embeddings, S)
-        flag_buf = jax.lax.dynamic_update_slice(cache.flag, flag,
-                                                (0, cache.index))
-        kv_flag = flag_buf
-        # queries occupy slots [index, index+N); keys are the whole buffer
-        q_slots = cache.index + jnp.arange(N)
-        k_slots = jnp.arange(S)
-        causal = k_slots[None, :] <= q_slots[:, None]
-        keep = causal[None, None] & attention_mask.astype(bool)[:, None, None, :]
+        kv_flag = _write_seq(cache.flag, flag, cache.index)
+        # queries occupy slots [index, index+N); keys are the whole buffer.
+        # index may be per-row (B,) -- each serving slot has its own timeline
+        q_slots = jnp.expand_dims(cache.index, -1) + jnp.arange(N)  # (N,) | (B,N)
+        causal = jnp.arange(S) <= q_slots[..., None]        # (N,S) | (B,N,S)
+        if causal.ndim == 2:
+            causal = causal[None]
+        keep = causal[:, None] & attention_mask.astype(bool)[:, None, None, :]
         bias = jnp.where(keep, 0.0, BIG_NEG).astype(jnp.float32)
         if position_ids is None:
             raise ValueError("position_ids must be provided when using a cache")

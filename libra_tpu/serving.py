@@ -1,24 +1,29 @@
 """Continuous-batching serving engine (net-new vs the reference, which
 serves one static batch per `generate()` call).
 
-Design (TPU-first): a fixed pool of `max_batch` slots shares ONE bridged KV
-cache and ONE global write index. All slots advance in lockstep through a
-single compiled decode step; a finished slot is immediately refilled by
-prefilling the next queued request so that its prompt's K/V land at
-positions [t-N, t) of the shared timeline (per-slot attention masks hide
-other history). Two compiled programs total:
+v2 design (TPU-first): a fixed pool of `max_batch` slots, each owning an
+INDEPENDENT per-slot timeline of the pooled KV cache (k/v buffers are
+(L, B, max_len, H, d) with a (B,) write-index vector -- KVCache's per-slot
+mode). A finished slot is refilled by prefilling the next queued request at
+position 0 of the SAME row: stale K/V from the previous occupant is never
+attended because every position is rewritten before any query reaches it
+(causal k<=q, and position k is written when the new request processes
+position k). Slots therefore recycle indefinitely -- total generated tokens
+across a run are unbounded; the only capacity rule is per-request:
+prompt_len + max_new_tokens <= max_len.
 
-  * `_prefill(cache, ...)`  -- one request's prompt forward on a B=1 slice
-    of the pooled cache (sliced out, run, written back);
-  * `_decode(...)`          -- one token for ALL slots (inactive slots
-    masked), with multi-codebook sampling, EOI->newline forcing and
-    vision_indices carry identical to libra_tpu.generation.
+Two compiled programs: `_prefill` (per prompt-length bucket, one request on
+a B=1 slice of the pool) and `_decode` (one token for ALL slots in
+lockstep, inactive slots masked). Multi-codebook sampling, EOI->newline
+forcing, vision_indices carry, 2D-RoPE position carry and the 2D-mode
+hidden ring match libra_tpu.generation exactly.
 
-Static shapes throughout: prompts are right-aligned at the global index so
-a single scalar cache index suffices (no per-slot scatter). The engine's
-timeline capacity is `max_len` TOTAL tokens across the run; production
-deployments size it to the context budget and recycle engines (documented
-limitation of the v1 design).
+Composes with the framework's other serving features:
+  * mesh=...: tensor-parallel params (Megatron col/row specs) + the KV
+    cache head-sharded over the "model" axis (cache_shardings);
+  * int8 weights: pass a quantize_params(...) tree as params;
+  * GenerationConfig(kv_quant=True): int8 K/V cache;
+  * vision_prediction_mode == "2d": per-slot (R-1)-deep hidden ring.
 """
 
 from __future__ import annotations
@@ -51,31 +56,48 @@ class Result:
     finish_reason: str = "eos"   # "eos" | "length" | "capacity"
 
 
-def _slot_cache(cache: M.KVCache, slot):
-    def slc(buf):
-        if buf is None:
-            return None
-        return jax.lax.dynamic_slice_in_dim(buf, slot, 1, axis=1)
-    return M.KVCache(k=slc(cache.k), v=slc(cache.v), kb=slc(cache.kb),
-                     vb=slc(cache.vb),
-                     flag=jax.lax.dynamic_slice_in_dim(cache.flag, slot, 1, 0),
-                     index=cache.index)
+def _slice_dim(buf, slot, axis):
+    from libra_tpu.quantization import QuantizedArray
+    if buf is None:
+        return None
+    if isinstance(buf, QuantizedArray):
+        return QuantizedArray(_slice_dim(buf.q, slot, axis),
+                              _slice_dim(buf.scale, slot, axis))
+    return jax.lax.dynamic_slice_in_dim(buf, slot, 1, axis=axis)
 
 
-def _merge_slot(cache: M.KVCache, piece: M.KVCache, slot):
-    def put(buf, new):
-        if buf is None:
-            return None
-        return jax.lax.dynamic_update_slice_in_dim(buf, new, slot, axis=1)
-    return M.KVCache(k=put(cache.k, piece.k), v=put(cache.v, piece.v),
-                     kb=put(cache.kb, piece.kb), vb=put(cache.vb, piece.vb),
-                     flag=jax.lax.dynamic_update_slice_in_dim(
-                         cache.flag, piece.flag, slot, 0),
-                     index=piece.index)
+def _put_dim(buf, new, slot, axis):
+    from libra_tpu.quantization import QuantizedArray
+    if buf is None:
+        return None
+    if isinstance(buf, QuantizedArray):
+        return QuantizedArray(_put_dim(buf.q, new.q, slot, axis),
+                              _put_dim(buf.scale, new.scale, slot, axis))
+    return jax.lax.dynamic_update_slice_in_dim(buf, new, slot, axis=axis)
+
+
+def _slot_cache(cache: M.KVCache, slot) -> M.KVCache:
+    """B=1 view of one slot, with its index RESET to 0 (a new request owns
+    the row's timeline from the start)."""
+    return M.KVCache(
+        k=_slice_dim(cache.k, slot, 1), v=_slice_dim(cache.v, slot, 1),
+        kb=_slice_dim(cache.kb, slot, 1), vb=_slice_dim(cache.vb, slot, 1),
+        flag=_slice_dim(cache.flag, slot, 0),
+        index=jnp.zeros((1,), jnp.int32))
+
+
+def _merge_slot(cache: M.KVCache, piece: M.KVCache, slot) -> M.KVCache:
+    return M.KVCache(
+        k=_put_dim(cache.k, piece.k, slot, 1),
+        v=_put_dim(cache.v, piece.v, slot, 1),
+        kb=_put_dim(cache.kb, piece.kb, slot, 1),
+        vb=_put_dim(cache.vb, piece.vb, slot, 1),
+        flag=_put_dim(cache.flag, piece.flag, slot, 0),
+        index=jax.lax.dynamic_update_slice(cache.index, piece.index, (slot,)))
 
 
 class ServingEngine:
-    """Lockstep continuous batching over a fixed slot pool.
+    """Lockstep continuous batching over a recycling slot pool.
 
     >>> eng = ServingEngine(params, cfg, max_batch=4, max_len=2048)
     >>> results = eng.run([Request(...), ...])     # any number of requests
@@ -83,77 +105,122 @@ class ServingEngine:
 
     def __init__(self, params, cfg: LibraConfig, max_batch: int = 4,
                  max_len: int = 2048,
-                 gen: Optional[GenerationConfig] = None):
-        if cfg.vision_prediction_mode == "2d":
-            raise NotImplementedError(
-                "the serving engine does not carry the 2D-mode hidden ring "
-                "buffer; use libra_tpu.generation.Generator for 2D "
-                "checkpoints (default checkpoints are 1d)")
-        if cfg.use_2d_rope:
-            raise NotImplementedError(
-                "the serving engine derives 1D position ids; 2D-RoPE "
-                "checkpoints need the 2D position carry of "
-                "libra_tpu.generation.Generator")
+                 gen: Optional[GenerationConfig] = None, mesh=None):
         self.cfg = cfg
-        self.params = jax.device_put(params)
+        self.gen = gen or GenerationConfig()
+        self.mesh = mesh
+        self._cache_sh = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from libra_tpu.parallel.sharding import (cache_shardings,
+                                                     shard_params)
+            params = shard_params(mesh, params)
+            self._cache_sh = cache_shardings(mesh, cfg,
+                                             quantized=self.gen.kv_quant)
+        else:
+            params = jax.device_put(params)
+        self.params = params
         self.B = max_batch
         self.S = max_len
-        self.gen = gen or GenerationConfig()
         self._prefill_fns: Dict[int, Any] = {}
         self._decode_fn = None
+        self._is_2d = cfg.vision_prediction_mode == "2d"
+        self._Rb = max(cfg.image_feature_resolution - 1, 1)
+
+    def _init_cache(self) -> M.KVCache:
+        cache = M.init_cache(self.cfg, self.B, self.S,
+                             quantized=self.gen.kv_quant)
+        cache = cache._replace(index=jnp.zeros((self.B,), jnp.int32))
+        if self._cache_sh is not None:
+            # pin the pooled KV layout head-sharded over "model" (ICI);
+            # the per-slot index vector replicates (P() covers (B,))
+            cache = jax.device_put(cache, self._cache_sh)
+        return cache
 
     # -- compiled pieces ----------------------------------------------------
 
     def _prefill(self, N: int):
-        """One compiled prefill per prompt-length bucket."""
+        """One compiled prefill per prompt-length bucket: one request's
+        prompt forward on a B=1 slice of the pool, written back at the
+        slot's positions [0, N)."""
         if N not in self._prefill_fns:
-            cfg, gen = self.cfg, self.gen
+            cfg = self.cfg
 
-            def f(params, cache, mask_buf, ids, vi, sig, slot):
-                # slice this slot's row out of the pooled cache
+            def f(params, cache, ids, vi, sig, slot):
                 piece = _slot_cache(cache, slot)
-                # prompt occupies [index, index+N) of the shared timeline
-                row = jax.lax.dynamic_slice(
-                    mask_buf, (slot, 0), (1, mask_buf.shape[1]))
-                pos = M.position_ids_from_mask(
-                    jax.lax.dynamic_slice(row, (0, cache.index), (1, N)))
-                out = M.forward(params, cfg, ids, row, vi, sig,
-                                position_ids=pos, cache=piece)
+                mask = jnp.ones((1, N), jnp.int32)
+                if cfg.use_2d_rope:
+                    pos = M.get_2d_position_ids(cfg, vi, mask)
+                    offset_tab = M.make_2d_pos_offset(cfg)
+                    base_last = (pos[:, 0, -1]
+                                 - offset_tab[jnp.clip(
+                                     vi[:, -1], 0,
+                                     cfg.max_vision_token_length)][:, 0])
+                else:
+                    pos = M.position_ids_from_mask(mask)
+                    base_last = pos[:, -1]
+                out = M.forward(params, cfg, ids,
+                                jnp.ones((1, piece.flag.shape[1]), jnp.int32),
+                                vi, sig, position_ids=pos, cache=piece)
                 flag_last = vi[:, -1] < cfg.max_vision_token_length
+                if self._is_2d:
+                    hist = out.hidden_states[:, -self._Rb:]
+                    idx = max(out.hidden_states.shape[1] - 1 - self._Rb, 0)
+                    h_up = out.hidden_states[:, idx]
+                else:
+                    hist = jnp.zeros(
+                        (1, self._Rb, out.hidden_states.shape[-1]),
+                        out.hidden_states.dtype)
+                    h_up = hist[:, 0]
                 logits = _last_position_logits(
                     params, cfg, out.hidden_states, flag_last, vi[:, -1],
-                    h_up=out.hidden_states[:, -1])
+                    h_up=h_up)
                 return _merge_slot(cache, out.cache, slot), logits, \
-                    pos[:, -1]
+                    base_last, hist
 
             self._prefill_fns[N] = jax.jit(f)
         return self._prefill_fns[N]
 
     def _decode(self):
+        """One token for every slot in lockstep; per-slot cache indices
+        advance independently. Inactive slots compute garbage that the host
+        ignores; their stale cache rows are never attended after refill."""
         if self._decode_fn is None:
             cfg, gen = self.cfg, self.gen
+            Mv = cfg.max_vision_token_length
 
-            def f(params, cache, mask_buf, last_logits, vi_last, pos_last,
-                  active, rng):
+            def f(params, cache, last_logits, vi_last, pos_last, active,
+                  hist, rng):
                 tok = sample_tokens(last_logits, gen, rng)       # (Q, B)
                 tok = jnp.where(active[None], tok, gen.pad_token_id)
-                slot_idx = cache.index
-                mask_buf = jax.lax.dynamic_update_slice(
-                    mask_buf, active[:, None].astype(mask_buf.dtype),
-                    (0, slot_idx))
-                vi_new = jnp.where(
-                    active, jnp.minimum(vi_last + 1,
-                                        cfg.max_vision_token_length),
-                    vi_last)
-                pos_new = jnp.where(active, pos_last + 1, pos_last)
-                step = M.forward(params, cfg, tok[:, :, None], mask_buf,
+                vi_new = jnp.where(active, jnp.minimum(vi_last + 1, Mv),
+                                   vi_last)
+                if cfg.use_2d_rope:
+                    # base advances 1 on text/BOI, R+1 on EOI, 0 in-image
+                    # (generation._generate_impl's carry)
+                    inc = jnp.where((vi_new == Mv) | (vi_new == 0), 1, 0)
+                    inc = jnp.where(vi_new == Mv - 1,
+                                    cfg.image_feature_resolution + 1, inc)
+                    pos_new = jnp.where(active, pos_last + inc, pos_last)
+                    offset_tab = M.make_2d_pos_offset(cfg)
+                    pos_ids = (pos_new[:, None]
+                               + offset_tab[jnp.clip(vi_new, 0, Mv)])[:, :, None]
+                else:
+                    pos_new = jnp.where(active, pos_last + 1, pos_last)
+                    pos_ids = pos_new[:, None]
+                step = M.forward(params, cfg, tok[:, :, None],
+                                 jnp.ones((tok.shape[1], cache.flag.shape[1]),
+                                          jnp.int32),
                                  vi_new[:, None], None,
-                                 position_ids=pos_new[:, None], cache=cache)
+                                 position_ids=pos_ids, cache=cache)
+                h_up = hist[:, 0]
                 logits = _last_position_logits(
-                    params, cfg, step.hidden_states,
-                    vi_new < cfg.max_vision_token_length, vi_new,
-                    h_up=step.hidden_states[:, -1])
-                return tok, step.cache, mask_buf, logits, vi_new, pos_new
+                    params, cfg, step.hidden_states, vi_new < Mv, vi_new,
+                    h_up=h_up)
+                new_hist = (jnp.concatenate([hist[:, 1:], step.hidden_states],
+                                            axis=1)
+                            if self._is_2d else hist)
+                return tok, step.cache, logits, vi_new, pos_new, new_hist
 
             self._decode_fn = jax.jit(f)
         return self._decode_fn
@@ -166,49 +233,50 @@ class ServingEngine:
         queue = list(requests)
         results: List[Result] = []
 
-        cache = M.init_cache(cfg, B, S)
-        mask_buf = jnp.zeros((B, S), jnp.int32)
-        logits = jnp.full((Q, B, cfg.combined_vocab_size), 0.0, jnp.float32)
+        cache = self._init_cache()
+        D = cfg.hidden_size
+        logits = jnp.zeros((Q, B, cfg.combined_vocab_size), jnp.float32)
         vi_last = jnp.full((B,), cfg.max_vision_token_length, jnp.int32)
         pos_last = jnp.zeros((B,), jnp.int32)
+        hist = jnp.zeros((B, self._Rb, D), cfg.compute_dtype)
         active = np.zeros((B,), bool)
         slot_req: List[Optional[Request]] = [None] * B
         slot_toks: List[List[np.ndarray]] = [[] for _ in range(B)]
         rng = jax.random.PRNGKey(0)
 
-        def capacity_left(n):
-            return int(cache.index) + n + 1 <= S
-
         def try_fill():
-            nonlocal cache, mask_buf, logits, vi_last, pos_last
+            nonlocal cache, logits, vi_last, pos_last, hist
             for slot in range(B):
-                if active[slot] or not queue:
+                if active[slot]:
                     continue
-                req = queue[0]
+                while queue:
+                    req = queue[0]
+                    N = req.input_ids.shape[-1]
+                    if N + req.max_new_tokens <= S:
+                        break
+                    # can never fit any slot: reject up front
+                    queue.pop(0)
+                    results.append(Result(req.request_id,
+                                          np.zeros((Q, 0), np.int64),
+                                          "capacity"))
+                if not queue:
+                    return
+                req = queue.pop(0)
                 N = req.input_ids.shape[-1]
-                if not capacity_left(N):
-                    continue
-                queue.pop(0)
-                idx = int(cache.index)
-                # retire the slot's previous history and mark the new
-                # prompt's window (a reused slot must NOT attend to the
-                # finished request's positions)
-                mask_buf = mask_buf.at[slot].set(0)
-                mask_buf = jax.lax.dynamic_update_slice(
-                    mask_buf, jnp.ones((1, N), jnp.int32), (slot, idx))
                 sig = req.contiguous_signal
                 sig = (jnp.asarray(sig, jnp.float32)[None]
                        if sig is not None else
                        jnp.zeros((1, N, cfg.contiguous_signal_size),
                                  jnp.float32))
-                cache, lg, p_last = self._prefill(N)(
-                    self.params, cache, mask_buf,
+                cache, lg, p_last, h = self._prefill(N)(
+                    self.params, cache,
                     jnp.asarray(req.input_ids)[:, None],
                     jnp.asarray(req.vision_indices)[None], sig,
                     slot)
                 logits = logits.at[:, slot].set(lg[:, 0])
                 vi_last = vi_last.at[slot].set(int(req.vision_indices[-1]))
                 pos_last = pos_last.at[slot].set(p_last[0])
+                hist = hist.at[slot].set(h[0].astype(hist.dtype))
                 active[slot] = True
                 slot_req[slot] = req
                 slot_toks[slot] = []
@@ -223,16 +291,11 @@ class ServingEngine:
 
         try_fill()
         while active.any():
-            if not capacity_left(0):
-                for slot in range(B):
-                    if active[slot]:
-                        finish(slot, "capacity")
-                break
             rng, step_rng = jax.random.split(rng)
             act_dev = jnp.asarray(active)
-            tok, cache, mask_buf, logits, vi_last, pos_last = self._decode()(
-                self.params, cache, mask_buf, logits, vi_last, pos_last,
-                act_dev, step_rng)
+            tok, cache, logits, vi_last, pos_last, hist = self._decode()(
+                self.params, cache, logits, vi_last, pos_last, act_dev,
+                hist, step_rng)
             tok_np = np.asarray(tok)                        # (Q, B)
             for slot in range(B):
                 if not active[slot]:
@@ -245,7 +308,4 @@ class ServingEngine:
                     finish(slot, "length")
             try_fill()
 
-        for req in queue:   # never scheduled (capacity)
-            results.append(Result(req.request_id, np.zeros((Q, 0), np.int64),
-                                  "capacity"))
         return sorted(results, key=lambda r: r.request_id)

@@ -1,5 +1,7 @@
-"""Continuous-batching serving engine: each request's greedy tokens must
-equal a standalone Generator run, under slot reuse and staggered lengths."""
+"""Continuous-batching serving engine v2: per-slot recycling timelines.
+Each request's greedy tokens must equal a standalone Generator run under
+slot reuse, staggered lengths, tensor parallelism, int8 weights/KV and the
+2D prediction/RoPE modes."""
 
 import jax
 import jax.numpy as jnp
@@ -21,10 +23,10 @@ def tiny():
     return cfg, params
 
 
-def _requests(cfg, n, seed=0):
+def _requests(cfg, n, seed=0, max_new=None):
     reqs = []
     for i in range(n):
-        text_len = 3 + 2 * i
+        text_len = 3 + 2 * (i % 4)
         ids, mask, vi, sig = make_inputs(cfg, B=1, text_len=text_len,
                                          seed=seed + i)
         mask = jnp.ones_like(mask)       # engine requests are unpadded
@@ -32,10 +34,22 @@ def _requests(cfg, n, seed=0):
                              input_ids=np.asarray(ids[:, 0]),
                              vision_indices=np.asarray(vi[0]),
                              contiguous_signal=np.asarray(sig[0]),
-                             max_new_tokens=4 + i),
+                             max_new_tokens=max_new or (4 + i % 5)),
                      {"input_ids": ids, "attention_mask": mask,
                       "vision_indices": vi, "coninous_signal": sig}))
     return reqs
+
+
+def _check_parity(results, pairs, params, cfg, gen_kw=None, gen=None):
+    g = gen or Generator(params, cfg)
+    for res, (req, inputs) in zip(results, pairs):
+        want = g(inputs, GenerationConfig(
+            max_new_tokens=req.max_new_tokens, eos_token_id=-1,
+            **(gen_kw or {})))
+        N = req.input_ids.shape[-1]
+        want_toks = np.asarray(want.sequences)[:, 0, N:]
+        np.testing.assert_array_equal(res.tokens, want_toks,
+                                      err_msg=f"request {res.request_id}")
 
 
 def test_engine_matches_generator(tiny):
@@ -45,16 +59,26 @@ def test_engine_matches_generator(tiny):
     eng = ServingEngine(params, cfg, max_batch=2, max_len=128, gen=gen)
     results = eng.run([r for r, _ in pairs])
     assert [r.request_id for r in results] == [0, 1, 2]
+    assert all(r.finish_reason == "length" for r in results)
+    _check_parity(results, pairs, params, cfg)
 
-    g = Generator(params, cfg)
-    for res, (req, inputs) in zip(results, pairs):
-        assert res.finish_reason == "length"
-        want = g(inputs, GenerationConfig(
-            max_new_tokens=req.max_new_tokens, eos_token_id=-1))
-        N = req.input_ids.shape[-1]
-        want_toks = np.asarray(want.sequences)[:, 0, N:]
-        np.testing.assert_array_equal(res.tokens, want_toks,
-                                      err_msg=f"request {res.request_id}")
+
+def test_engine_slots_recycle_far_past_max_len(tiny):
+    """The v2 point: slots recycle indefinitely -- total generated tokens
+    across the run far exceed the per-slot capacity, with exact per-request
+    parity throughout."""
+    cfg, params = tiny
+    gen = GenerationConfig(eos_token_id=-1)
+    max_len = 32
+    pairs = _requests(cfg, 10, max_new=6)
+    eng = ServingEngine(params, cfg, max_batch=2, max_len=max_len, gen=gen)
+    results = eng.run([r for r, _ in pairs])
+    assert len(results) == 10
+    total_prompt = sum(r.input_ids.shape[-1] for r, _ in pairs)
+    total_generated = sum(r.tokens.shape[-1] for r in results)
+    assert total_generated == 60
+    assert total_prompt + total_generated > 3 * max_len  # >> one timeline
+    _check_parity(results, pairs, params, cfg)
 
 
 def test_engine_eos_and_capacity(tiny):
@@ -72,15 +96,78 @@ def test_engine_eos_and_capacity(tiny):
     assert res.finish_reason == "eos"
     assert res.tokens.shape[-1] == 1 and res.tokens[0, 0] == first
 
-    # capacity: timeline too small for the second request
+    # capacity is now PER-REQUEST: prompt + max_new must fit one slot
     ids_len = req.input_ids.shape[-1]
     eng2 = ServingEngine(params, cfg, max_batch=1, max_len=ids_len + 3,
                          gen=GenerationConfig(eos_token_id=-1))
-    req2 = Request(request_id=1, input_ids=req.input_ids,
+    fits = Request(request_id=1, input_ids=req.input_ids,
                    vision_indices=req.vision_indices,
                    contiguous_signal=req.contiguous_signal,
-                   max_new_tokens=2)
-    out = eng2.run([req, req2])
-    assert out[0].finish_reason in ("length", "capacity")
+                   max_new_tokens=3)
+    too_big = Request(request_id=2, input_ids=req.input_ids,
+                      vision_indices=req.vision_indices,
+                      contiguous_signal=req.contiguous_signal,
+                      max_new_tokens=4)
+    out = eng2.run([fits, too_big])
+    assert out[0].finish_reason == "length"
+    assert out[0].tokens.shape[-1] == 3
     assert out[1].finish_reason == "capacity"
     assert out[1].tokens.shape[-1] == 0
+
+
+def test_engine_tensor_parallel(tiny):
+    """Mesh-sharded engine (TP over heads + head-sharded KV cache) emits
+    exactly the single-device tokens."""
+    from libra_tpu.parallel import make_mesh
+
+    cfg, params = tiny
+    gen = GenerationConfig(eos_token_id=-1)
+    pairs = _requests(cfg, 4)
+    mesh = make_mesh(data=1, fsdp=2, model=4)
+    eng = ServingEngine(params, cfg, max_batch=2, max_len=64, gen=gen,
+                        mesh=mesh)
+    q_sh = eng.params["layers"]["attn"]["q_proj"].sharding
+    assert q_sh.spec[-1] == "model"
+    results = eng.run([r for r, _ in pairs])
+    _check_parity(results, pairs, params, cfg)
+
+
+def test_engine_int8_weights_and_kv(tiny):
+    """int8 weights + int8 KV cache: the engine must match a Generator run
+    with the SAME quantized params and kv_quant (bitwise-identical cache
+    math -> identical tokens)."""
+    from libra_tpu.quantization import quantize_params
+
+    cfg, params = tiny
+    qparams = quantize_params(params, min_elems=0)
+    gen = GenerationConfig(eos_token_id=-1, kv_quant=True)
+    pairs = _requests(cfg, 3)
+    eng = ServingEngine(qparams, cfg, max_batch=2, max_len=64, gen=gen)
+    results = eng.run([r for r, _ in pairs])
+    g = Generator(qparams, cfg)
+    _check_parity(results, pairs, params, cfg, gen_kw={"kv_quant": True},
+                  gen=g)
+
+
+def test_engine_2d_mode(tiny):
+    """2D vision-prediction mode: the per-slot hidden ring must reproduce
+    Generator's tokens (which are oracle-checked in test_2d_mode)."""
+    cfg2d = LibraConfig.tiny(vision_prediction_mode="2d")
+    params = M.init_params(jax.random.PRNGKey(1), cfg2d)
+    gen = GenerationConfig(eos_token_id=-1)
+    pairs = _requests(cfg2d, 3)
+    eng = ServingEngine(params, cfg2d, max_batch=2, max_len=64, gen=gen)
+    results = eng.run([r for r, _ in pairs])
+    _check_parity(results, pairs, params, cfg2d)
+
+
+def test_engine_2d_rope(tiny):
+    """2D-RoPE checkpoints: the engine carries the (base, offset) position
+    state instead of 1D position ids."""
+    cfg2r = LibraConfig.tiny(use_2d_rope=True)
+    params = M.init_params(jax.random.PRNGKey(2), cfg2r)
+    gen = GenerationConfig(eos_token_id=-1)
+    pairs = _requests(cfg2r, 3)
+    eng = ServingEngine(params, cfg2r, max_batch=2, max_len=64, gen=gen)
+    results = eng.run([r for r, _ in pairs])
+    _check_parity(results, pairs, params, cfg2r)
