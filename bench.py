@@ -192,11 +192,44 @@ def _device_quantized_params(cfg):
     return jax.tree_util.tree_map_with_path(build, shapes)
 
 
+# Measured single-chip streaming bandwidth (bf16 matvec chain, overhead-
+# cancelled two-point fit; v5e HBM spec is 819 GB/s). The decode roofline
+# is bytes_per_step / this.
+ACHIEVABLE_GBPS = 733.0
+
+
+def _decode_roofline(cfg, params, B, S):
+    """Bytes every decode step must move: ALL weight bytes (each weight is
+    read once per step; int8 leaves count q+scale bytes) + the full static
+    KV buffers (k/v/kb/vb are read over their whole (B, S) extent each
+    step -- static shapes)."""
+    import jax
+
+    from libra_tpu.quantization import QuantizedArray
+
+    weight_bytes = 0
+    for leaf in jax.tree_util.tree_leaves(
+            params, is_leaf=lambda x: isinstance(x, QuantizedArray)):
+        if isinstance(leaf, QuantizedArray):
+            weight_bytes += leaf.q.size + leaf.scale.size * 4
+        else:
+            weight_bytes += leaf.size * leaf.dtype.itemsize
+    L, H, d = cfg.num_hidden_layers, cfg.num_attention_heads, cfg.head_dim
+    n_buf = 4 if cfg.use_bridge else 2
+    kv_bytes = n_buf * L * B * S * H * (d + 4)     # int8 data + f32 scales
+    return weight_bytes, kv_bytes
+
+
 def bench_decode_full_int8(B=4, text_len=32, max_new=64):
     """THE north-star shape: the FULL 32-layer 11B flagship, weight-only
     int8 + int8 KV cache, single chip, batched greedy decode. bf16 cannot
     do this at all (~18 GB > 16 GB HBM); int8 weights are ~9.4 GB, and the
-    int8 KV cache halves cache memory/traffic, which is what admits B=4."""
+    int8 KV cache halves cache memory/traffic, which is what admits B=4.
+
+    Decode matmuls stream through the fused Pallas int8 kernel
+    (ops/pallas/int8_matmul.py) -- weights stay int8 in HBM and dequantize
+    in VMEM into the MXU feed. Also returns a bytes-moved roofline: tokens/s
+    is bounded by (weights + KV bytes per step) / achievable bandwidth."""
     import jax
 
     from libra_tpu.generation import GenerationConfig, Generator
@@ -218,7 +251,144 @@ def bench_decode_full_int8(B=4, text_len=32, max_new=64):
         _sync(g(inputs, gen).sequences)
         d = time.perf_counter() - t0
         dt = d if dt is None else min(dt, d)
-    return max_new * B / dt, dt
+
+    S = ids.shape[-1] + max_new
+    wb, kvb = _decode_roofline(cfg, params, B, S)
+    bytes_per_step = wb + kvb
+    sol_tok_s = B / (bytes_per_step / (ACHIEVABLE_GBPS * 1e9))
+    achieved_gbps = bytes_per_step * max_new / dt / 1e9
+    roofline = {
+        "decode_bytes_per_step_gb": round(bytes_per_step / 1e9, 3),
+        "decode_weight_gb": round(wb / 1e9, 3),
+        "decode_kv_gb": round(kvb / 1e9, 3),
+        "decode_achieved_gb_s": round(achieved_gbps, 1),
+        "decode_sol_tok_s": round(sol_tok_s, 1),
+        "decode_pct_of_sol": round(100 * (max_new * B / dt) / sol_tok_s, 1),
+    }
+    return max_new * B / dt, dt, roofline
+
+
+def bench_vqa_fused_full32(B=1, text_len=32, max_new=64):
+    """BASELINE configs 3-4 at REAL scale: the full 32-layer 11B flagship
+    (int8 weights + int8 KV) answering a single-image VQA prompt with
+    CLIP+VQGAN encode fused into the prefill program. Returns
+    (ttft_s, decode_tok_s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from libra_tpu.config import VQGANConfig
+    from libra_tpu.generation import GenerationConfig, Generator
+    from __graft_entry__ import _example_batch, _flagship_cfg, fast_fill
+    from libra_tpu.models import vqgan as vqgan_model
+
+    cfg = _flagship_cfg(32)
+    params = _device_quantized_params(cfg)
+    vq_cfg = VQGANConfig(select_layer=(-2, -1))
+    vq_params = jax.device_put(jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype")
+        and x.dtype == jnp.float32 else x,
+        fast_fill(lambda: vqgan_model.init_params(jax.random.PRNGKey(0),
+                                                  vq_cfg))))
+
+    ids, mask, vi, _ = _example_batch(cfg, B=B, text_len=text_len)
+    img_start = np.full((B,), 8, np.int32)
+    pixels = np.random.RandomState(0).randn(B, 336, 336, 3).astype(np.float32)
+    inputs = {"input_ids": ids, "attention_mask": mask, "vision_indices": vi,
+              "pixels": pixels, "img_start": img_start}
+    g = Generator(params, cfg, vq_params=vq_params, vq_cfg=vq_cfg)
+
+    gen1 = GenerationConfig(max_new_tokens=1, eos_token_id=-1, kv_quant=True)
+    genN = GenerationConfig(max_new_tokens=max_new, eos_token_id=-1,
+                            kv_quant=True)
+    _sync(g(inputs, gen1).sequences)    # compile
+    _sync(g(inputs, genN).sequences)    # compile
+
+    def best(f, n=2):
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            f()
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    ttft = best(lambda: _sync(g(inputs, gen1).sequences))
+    tN = best(lambda: _sync(g(inputs, genN).sequences))
+    tok_s = (max_new - 1) * B / max(tN - ttft, 1e-9)
+    return ttft, tok_s
+
+
+def bench_train_step(num_layers=4, B=8, text_len=120):
+    """BASELINE config 5 shape on one chip: the fused LAION pretrain step
+    (device-resident CLIP+VQGAN tokenize INSIDE the compiled step, frozen
+    language, AdamW on the vision side, remat). Returns
+    (tokens_per_sec, mfu)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from libra_tpu.config import VQGANConfig
+    from libra_tpu.models import libra as M
+    from libra_tpu.models import vqgan as vqgan_model
+    from libra_tpu.training.fused import FusedBatch, make_fused_train_step
+    from libra_tpu.training.optimizer import OptimizerConfig, make_optimizer
+    from libra_tpu.training.trainer import init_state
+    from __graft_entry__ import _flagship_cfg, fast_fill, fast_random_params
+
+    cfg = _flagship_cfg(num_layers)
+    vq_cfg = VQGANConfig(select_layer=(-2, -1))
+    params = jax.device_put(fast_random_params(cfg))
+    vq_params = jax.device_put(jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype")
+        and x.dtype == jnp.float32 else x,
+        fast_fill(lambda: vqgan_model.init_params(jax.random.PRNGKey(0),
+                                                  vq_cfg))))
+
+    Mv = cfg.max_vision_token_length
+    N = text_len + Mv                     # ~700: the pretrain seq budget
+    rng = np.random.RandomState(0)
+    img_start = np.full((B,), 8, np.int32)
+    vi = np.full((B, N), Mv, np.int64)
+    vi[:, 8:8 + Mv] = np.arange(Mv)
+    labels = rng.randint(3, cfg.vocab_size,
+                         size=(cfg.vision_codebook_num, B, N)).astype(np.int64)
+    copy_mask = np.zeros((B, N), bool)
+    copy_mask[:, 9:8 + Mv] = True         # image ids are labels (not BOI)
+    labels[:, :, 8:8 + Mv] = -100
+    batch = FusedBatch(
+        pixels=jnp.asarray(rng.randn(B, 336, 336, 3), jnp.float32),
+        text_ids=jnp.asarray(rng.randint(3, cfg.vocab_size, (B, N)), jnp.int32),
+        img_start=jnp.asarray(img_start),
+        attention_mask=jnp.ones((B, N), jnp.int32),
+        vision_indices=jnp.asarray(vi),
+        labels_static=jnp.asarray(labels),
+        label_copy_mask=jnp.asarray(copy_mask),
+        signal_ignore=jnp.zeros((B,), bool))
+    batch = jax.device_put(batch)
+
+    opt = make_optimizer(OptimizerConfig(frozen_language=True,
+                                         total_steps=1000), params)
+    state = jax.jit(functools.partial(init_state, opt=opt))(params)
+    step = make_fused_train_step(cfg, vq_cfg, opt)
+
+    state, m = step(state, vq_params, batch)      # compile + run
+    _sync(m["loss"])
+    iters = 4
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, vq_params, batch)
+    _sync(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+
+    tokens = B * N
+    # matmul-parameter count for the MFU convention (6 * P * T): every
+    # decoder matmul weight participates in fwd + bwd (frozen params still
+    # carry activation gradients); embeddings/gathers excluded
+    n_mat = sum(
+        l.size for p, l in jax.tree_util.tree_leaves_with_path(params)
+        if l.ndim >= 2 and "embed" not in str(p))
+    mfu = 6 * n_mat * tokens / dt / 197e12        # v5e bf16 peak
+    return tokens / dt, mfu
 
 
 def _stage(name, t0):

@@ -312,6 +312,11 @@ class Generator:
             img_start = jnp.asarray(img_start)
             sig = None
 
+        # the Pallas int8 kernel is opaque to GSPMD: under a TP mesh the
+        # sharded weights must stay on the XLA path
+        from libra_tpu.ops.qlinear import kernel_enabled
+        self._qk_ctx = lambda: kernel_enabled(self.mesh is None)
+
         if gen.prompt_bucket > 1:
             N = ids.shape[-1]
             pad = (-N) % gen.prompt_bucket
@@ -332,5 +337,6 @@ class Generator:
                         axis=1)
                 if img_start is not None:
                     img_start = img_start + pad
-        return self._get_fn(gen)(self.params, ids, mask, vi, sig, rng,
-                                 self.vq_params, pixels, img_start)
+        with self._qk_ctx():
+            return self._get_fn(gen)(self.params, ids, mask, vi, sig, rng,
+                                     self.vq_params, pixels, img_start)

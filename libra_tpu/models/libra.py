@@ -262,11 +262,11 @@ def embed_inputs(params: Params, cfg: LibraConfig, input_ids: jax.Array,
             sig = jnp.zeros((B, N, cfg.contiguous_signal_size), cd)
         else:
             sig = contiguous_signal.astype(cd)
+        from libra_tpu.ops.qlinear import qdot
         cat = jnp.concatenate([vis_emb, sig], axis=-1)
         if cfg.norm_signals:
             cat = rms_norm(cat, params["signal_norm"], cfg.rms_norm_eps)
-        vis_emb = jnp.einsum("bns,sd->bnd", cat,
-                             params["signal_proj"].astype(cd))
+        vis_emb = qdot(cat, params["signal_proj"])
 
     h = select_by_flag(vision_flag, vis_emb, text_emb)
 
@@ -431,12 +431,10 @@ def _mlp(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
     """Routed SwiGLU MLP (reference: LibraMLP, modeling_libra.py:206-238).
     Note: LibraMLP routes strictly even in addition_mode (its forward never
     consults the flag's addition variant)."""
+    from libra_tpu.ops.qlinear import qdot
     m = p["mlp"]
-    cd = h.dtype
-    lang = jnp.einsum("bni,io->bno",
-                      jax.nn.silu(h @ m["gate_proj"].astype(cd)) *
-                      (h @ m["up_proj"].astype(cd)),
-                      m["down_proj"].astype(cd))
+    lang = qdot(jax.nn.silu(qdot(h, m["gate_proj"])) * qdot(h, m["up_proj"]),
+                m["down_proj"])
     gate_v = low_rank_linear(h, m["vision_gate"]["wa"], m["vision_gate"]["wb"])
     up_v = low_rank_linear(h, m["vision_up"]["wa"], m["vision_up"]["wb"])
     vis = low_rank_linear(jax.nn.silu(gate_v) * up_v,
@@ -540,19 +538,37 @@ def forward(params: Params, cfg: LibraConfig, input_ids: jax.Array,
     layer_rngs = (jax.random.split(dropout_rng, cfg.num_hidden_layers)
                   if dropout_rng is not None else None)
 
+    layers = params["layers"]
+
+    def take_layer(idx):
+        """Layer `idx` of the stacked params. Quantized leaves become
+        zero-copy LayerViews (the Pallas int8 kernel reads straight from
+        the stacked HBM buffer; a sliced copy per layer per step would
+        triple decode HBM traffic); plain leaves are dynamic-index slices
+        that XLA fuses into their consumers."""
+        from libra_tpu.quantization import LayerView, QuantizedArray
+
+        def pick(leaf):
+            if isinstance(leaf, QuantizedArray):
+                return LayerView(leaf, idx)
+            return leaf[idx]
+
+        return jax.tree_util.tree_map(
+            pick, layers, is_leaf=lambda x: isinstance(x, QuantizedArray))
+
     def body(carry_h, xs):
         rng = None
         if layer_rngs is not None:
             xs, rng = xs
         if cache is None:
-            p = xs
+            idx = xs
             cache_slice = None
         else:
-            p, c = xs
+            idx, c = xs
             cache_slice = dict(c, index=cache.index)
-        new_h, new_c = decoder_layer(p, cfg, carry_h, flag, cos, sin,
-                                     position_ids, bias, kv_flag, cache_slice,
-                                     attn_impl, dropout_rng=rng)
+        new_h, new_c = decoder_layer(take_layer(idx), cfg, carry_h, flag,
+                                     cos, sin, position_ids, bias, kv_flag,
+                                     cache_slice, attn_impl, dropout_rng=rng)
         return new_h, new_c
 
     if remat:
@@ -561,14 +577,15 @@ def forward(params: Params, cfg: LibraConfig, input_ids: jax.Array,
     def scan_xs(xs):
         return (xs, layer_rngs) if layer_rngs is not None else xs
 
+    idxs = jnp.arange(cfg.num_hidden_layers)
     if cache is None:
-        h, _ = jax.lax.scan(body, h, scan_xs(params["layers"]))
+        h, _ = jax.lax.scan(body, h, scan_xs(idxs))
         new_cache = None
     else:
         per_layer = {"k": cache.k, "v": cache.v}
         if cfg.use_bridge:
             per_layer.update({"kb": cache.kb, "vb": cache.vb})
-        h, outs = jax.lax.scan(body, h, scan_xs((params["layers"], per_layer)))
+        h, outs = jax.lax.scan(body, h, scan_xs((idxs, per_layer)))
         new_cache = KVCache(
             k=outs["k"], v=outs["v"],
             kb=outs.get("kb"), vb=outs.get("vb"),
@@ -586,7 +603,8 @@ def forward(params: Params, cfg: LibraConfig, input_ids: jax.Array,
 # ---------------------------------------------------------------------------
 
 def compute_text_logits(params: Params, h: jax.Array) -> jax.Array:
-    return jnp.einsum("bnd,dv->bnv", h, params["lm_head"].astype(h.dtype))
+    from libra_tpu.ops.qlinear import qdot
+    return qdot(h, params["lm_head"])
 
 
 def compute_vision_logits(params: Params, h: jax.Array) -> jax.Array:

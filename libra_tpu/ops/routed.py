@@ -61,8 +61,8 @@ def low_rank_linear(x: jax.Array, wa: jax.Array, wb: jax.Array) -> jax.Array:
     weights stored transposed for x @ W convention:
     wa: (in, bottleneck), wb: (bottleneck, out).
     """
-    hidden = jnp.einsum("...i,ir->...r", x, wa.astype(x.dtype))
-    return jnp.einsum("...r,ro->...o", hidden, wb.astype(x.dtype))
+    from libra_tpu.ops.qlinear import qdot
+    return qdot(qdot(x, wa), wb)
 
 
 def routed_linear(x: jax.Array, flag: jax.Array, w_lang: jax.Array,
@@ -81,7 +81,8 @@ def routed_linear(x: jax.Array, flag: jax.Array, w_lang: jax.Array,
     matching the reference's [o_proj, resid_drop] / [vision_o_proj,
     vision_resid_drop] module lists (modeling_libra.py:409).
     """
-    lang = jnp.einsum("...i,io->...o", x, w_lang.astype(x.dtype))
+    from libra_tpu.ops.qlinear import qdot
+    lang = qdot(x, w_lang)
     vis = low_rank_linear(x, wa_vis, wb_vis)
     if dropout is not None:
         rng, rate_lang, rate_vis = dropout

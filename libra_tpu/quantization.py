@@ -71,6 +71,39 @@ class QuantizedArray:
         return f"QuantizedArray(q={self.q.shape}, scale={self.scale.shape})"
 
 
+class LayerView:
+    """Zero-copy view of layer `idx` of a STACKED (L, ...) QuantizedArray.
+
+    Built inside the layer scan body instead of slicing: a sliced int8
+    weight feeding an (XLA-opaque) pallas_call would materialise a copy of
+    the layer's bytes every decode step. The view carries the full stacked
+    buffers plus the traced layer index; the Pallas kernel DMAs only that
+    layer's tiles (scalar-prefetch index_map), and the XLA fallback path
+    (.astype) lets the dequant-slice fuse into the consuming matmul as
+    before.
+    """
+
+    def __init__(self, qa: QuantizedArray, idx):
+        self.qa = qa
+        self.idx = idx
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return self.qa.q.shape[1:]
+
+    @property
+    def ndim(self) -> int:
+        return self.qa.q.ndim - 1
+
+    @property
+    def dtype(self):
+        return self.qa.scale.dtype
+
+    def astype(self, dt):
+        return (self.qa.q[self.idx].astype(dt)
+                * self.qa.scale[self.idx].astype(dt))
+
+
 def quantize_array(w, axis: int) -> QuantizedArray:
     """Symmetric per-channel int8: scale = amax/127 over `axis`.
 

@@ -126,6 +126,10 @@ class ServingEngine:
         self._decode_fn = None
         self._is_2d = cfg.vision_prediction_mode == "2d"
         self._Rb = max(cfg.image_feature_resolution - 1, 1)
+        # the Pallas int8 kernel is opaque to GSPMD: under a TP mesh the
+        # sharded weights must stay on the XLA path
+        from libra_tpu.ops.qlinear import kernel_enabled
+        self._qk_ctx = lambda: kernel_enabled(mesh is None)
 
     def _init_cache(self) -> M.KVCache:
         cache = M.init_cache(self.cfg, self.B, self.S,
@@ -268,11 +272,12 @@ class ServingEngine:
                        if sig is not None else
                        jnp.zeros((1, N, cfg.contiguous_signal_size),
                                  jnp.float32))
-                cache, lg, p_last, h = self._prefill(N)(
-                    self.params, cache,
-                    jnp.asarray(req.input_ids)[:, None],
-                    jnp.asarray(req.vision_indices)[None], sig,
-                    slot)
+                with self._qk_ctx():
+                    cache, lg, p_last, h = self._prefill(N)(
+                        self.params, cache,
+                        jnp.asarray(req.input_ids)[:, None],
+                        jnp.asarray(req.vision_indices)[None], sig,
+                        slot)
                 logits = logits.at[:, slot].set(lg[:, 0])
                 vi_last = vi_last.at[slot].set(int(req.vision_indices[-1]))
                 pos_last = pos_last.at[slot].set(p_last[0])
@@ -293,9 +298,10 @@ class ServingEngine:
         while active.any():
             rng, step_rng = jax.random.split(rng)
             act_dev = jnp.asarray(active)
-            tok, cache, logits, vi_last, pos_last, hist = self._decode()(
-                self.params, cache, logits, vi_last, pos_last, act_dev,
-                hist, step_rng)
+            with self._qk_ctx():
+                tok, cache, logits, vi_last, pos_last, hist = self._decode()(
+                    self.params, cache, logits, vi_last, pos_last, act_dev,
+                    hist, step_rng)
             tok_np = np.asarray(tok)                        # (Q, B)
             for slot in range(B):
                 if not active[slot]:

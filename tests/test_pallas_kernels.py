@@ -80,3 +80,79 @@ def test_int4_matmul_interpret():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want),
         rtol=1e-2, atol=1e-2)   # output is bf16
+
+
+def test_int8_matmul_interpret():
+    """Fused int8-dequant matmul (interpret mode) vs the exact f32
+    reference x @ (q * scale), per-out-channel scales."""
+    from libra_tpu.ops.pallas.int8_matmul import int8_matmul
+    from libra_tpu.quantization import quantize_array
+
+    rng = np.random.RandomState(0)
+    K, F = 256, 384
+    for M, lead in [(1, (1,)), (4, (4,)), (6, (2, 3))]:
+        w = rng.randn(K, F).astype(np.float32) * 0.1
+        qa = quantize_array(w, axis=-2)
+        x = rng.randn(*lead, K).astype(np.float32) * 0.5
+        # the kernel rounds x to bf16 (int8 weights are EXACT in bf16, so
+        # that is the only rounding before the f32-accumulated dot)
+        x_bf16 = np.asarray(jnp.asarray(x).astype(jnp.bfloat16)
+                            .astype(jnp.float32))
+        want = x_bf16.reshape(-1, K) @ (qa.q.astype(np.float32) * qa.scale)
+        got = int8_matmul(jnp.asarray(x), jnp.asarray(qa.q),
+                          jnp.asarray(qa.scale), interpret=True)
+        assert got.shape == lead + (F,)
+        np.testing.assert_allclose(np.asarray(got).reshape(-1, F), want,
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_qdot_dispatch_and_fallback():
+    """qdot: plain weights and unaligned/large-M shapes use the XLA path;
+    QuantizedArray dequant matches astype semantics."""
+    from libra_tpu.ops.qlinear import qdot
+    from libra_tpu.quantization import quantize_array
+
+    rng = np.random.RandomState(1)
+    w = rng.randn(96, 80).astype(np.float32)     # unaligned: fallback
+    qa = quantize_array(w, axis=-2)
+    x = rng.randn(2, 5, 96).astype(np.float32)
+    want = np.einsum("bni,io->bno", x, qa.q.astype(np.float32) * qa.scale)
+    got = np.asarray(qdot(jnp.asarray(x), qa))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    got_plain = np.asarray(qdot(jnp.asarray(x), jnp.asarray(w)))
+    np.testing.assert_allclose(got_plain, np.einsum("bni,io->bno", x, w),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_int8_matmul_stacked_layer_select(  ):
+    """Stacked (L, K, F) form: scalar-prefetched layer index must read
+    exactly layer idx's weights (vs slicing first)."""
+    from libra_tpu.ops.pallas.int8_matmul import int8_matmul
+    from libra_tpu.quantization import quantize_array
+
+    rng = np.random.RandomState(2)
+    L, K, F = 3, 256, 384
+    w = rng.randn(L, K, F).astype(np.float32) * 0.1
+    qa = quantize_array(w, axis=-2)
+    assert qa.scale.shape == (L, 1, F)
+    x = rng.randn(4, K).astype(np.float32)
+    for l in range(L):
+        want = int8_matmul(jnp.asarray(x), jnp.asarray(qa.q[l]),
+                           jnp.asarray(qa.scale[l]), interpret=True)
+        got = int8_matmul(jnp.asarray(x), jnp.asarray(qa.q),
+                          jnp.asarray(qa.scale), idx=jnp.int32(l),
+                          interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_layer_view_astype_matches_slice():
+    from libra_tpu.quantization import LayerView, quantize_array
+
+    rng = np.random.RandomState(3)
+    w = rng.randn(2, 32, 48).astype(np.float32)
+    qa = quantize_array(w, axis=-2)
+    v = LayerView(jax.tree_util.tree_map(jnp.asarray, qa), jnp.int32(1))
+    assert v.shape == (32, 48) and v.ndim == 2
+    np.testing.assert_array_equal(
+        np.asarray(v.astype(jnp.float32)),
+        qa.q[1].astype(np.float32) * qa.scale[1])
