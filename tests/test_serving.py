@@ -115,6 +115,22 @@ def test_engine_eos_and_capacity(tiny):
     assert out[1].tokens.shape[-1] == 0
 
 
+def test_engine_prompt_bucketing(tiny):
+    """prompt_bucket bounds the prefill compile cache (one program per
+    bucket, not per exact length) with EXACT parity: left bucket padding is
+    masked out of attention and positions."""
+    cfg, params = tiny
+    gen = GenerationConfig(eos_token_id=-1)
+    pairs = _requests(cfg, 4)         # prompt lengths 3+2i + image block
+    eng = ServingEngine(params, cfg, max_batch=2, max_len=64, gen=gen,
+                        prompt_bucket=8)
+    results = eng.run([r for r, _ in pairs])
+    assert all(k % 8 == 0 for k in eng._prefill_fns)
+    lengths = {r.input_ids.shape[-1] for r, _ in pairs}
+    assert len(eng._prefill_fns) < len(lengths)   # cache actually bounded
+    _check_parity(results, pairs, params, cfg)
+
+
 def test_engine_tensor_parallel(tiny):
     """Mesh-sharded engine (TP over heads + head-sharded KV cache) emits
     exactly the single-device tokens."""
