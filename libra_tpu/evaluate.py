@@ -108,8 +108,13 @@ def main(argv=None):
         preds = generate_captions(pipe, eval_ds,
                                   max_samples=args.max_samples)
         Path(args.output).write_text(json.dumps(preds, indent=1))
-        print(json.dumps({"predictions": len(preds),
-                          "output": args.output}))
+        result = {"predictions": len(preds), "output": args.output}
+        # score in-repo against the split's own reference captions
+        # (CIDEr-D / BLEU-4; the reference defers this to an external
+        # harness -- libra_tpu.metrics closes that gap)
+        from libra_tpu.metrics import score_captions
+        result.update(score_captions(preds, eval_ds.annotation))
+        print(json.dumps(result))
 
 
 if __name__ == "__main__":
