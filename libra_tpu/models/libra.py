@@ -174,7 +174,12 @@ def init_cache(cfg: LibraConfig, batch: int, max_len: int,
                dtype=None, quantized: bool = False) -> KVCache:
     """quantized=True: int8 K/V with per-(token, head) scales -- halves the
     cache's HBM footprint AND its per-step read traffic (net-new vs the
-    reference's fp16 tuple cache, modeling_libra.py:344-361)."""
+    reference's fp16 tuple cache, modeling_libra.py:344-361).
+
+    Scale layout is (L, B, H, S) -- sequence minor -- NOT (L, B, S, H, 1):
+    a trailing size-1 dim is tile-padded to 128 lanes on TPU, which made
+    the scale buffers occupy (and stream) ~100x their logical bytes
+    (measured ~13 ms/step of pure scale DMA in the r2 profile)."""
     from libra_tpu.quantization import QuantizedArray
 
     dtype = dtype or cfg.compute_dtype
@@ -184,7 +189,7 @@ def init_cache(cfg: LibraConfig, batch: int, max_len: int,
         if quantized:
             return QuantizedArray(
                 jnp.zeros((L, batch, max_len, H, d), jnp.int8),
-                jnp.zeros((L, batch, max_len, H, 1), jnp.float32))
+                jnp.zeros((L, batch, H, max_len), jnp.float32))
         return jnp.zeros((L, batch, max_len, H, d), dtype)
 
     return KVCache(
@@ -209,9 +214,9 @@ def _write_seq(buf: jax.Array, new: jax.Array, index) -> jax.Array:
 
 
 def _write_cache(buf, new: jax.Array, index):
-    """buf: (B, S, H, d) array or QuantizedArray(q, scale(B,S,H,1));
-    new: (B, N, H, d); write at [:, index:index+N] (per-row when index is
-    a (B,) vector)."""
+    """buf: (B, S, H, d) array or QuantizedArray(q (B,S,H,d), scale (B,H,S));
+    new: (B, N, H, d); write at sequence offset `index` (per-row when index
+    is a (B,) vector)."""
     from libra_tpu.quantization import QuantizedArray
 
     if isinstance(buf, QuantizedArray):
@@ -219,9 +224,16 @@ def _write_cache(buf, new: jax.Array, index):
         scale = jnp.where(a > 0, a, 1.0) / 127.0
         q = jnp.clip(jnp.round(new.astype(jnp.float32) / scale),
                      -127, 127).astype(jnp.int8)
-        return QuantizedArray(
-            _write_seq(buf.q, q, index),
-            _write_seq(buf.scale, scale, index))
+        scale_hn = scale[..., 0].transpose(0, 2, 1)          # (B, H, N)
+        if getattr(index, "ndim", 0) == 1:
+            def row(b, n, i):   # b: (H, S), n: (H, N)
+                return jax.lax.dynamic_update_slice(b, n, (0, i))
+            new_scale = jax.vmap(row)(buf.scale,
+                                      scale_hn.astype(buf.scale.dtype), index)
+        else:
+            new_scale = jax.lax.dynamic_update_slice(
+                buf.scale, scale_hn.astype(buf.scale.dtype), (0, 0, index))
+        return QuantizedArray(_write_seq(buf.q, q, index), new_scale)
     return _write_seq(buf, new, index)
 
 
@@ -387,12 +399,18 @@ def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
         cd = q.dtype
 
         def rd(buf):
-            # QuantizedArray.astype dequantizes the int8 cache for the
-            # attention dots (score-folded int8 consumption measured slower
-            # on v5e and crashed the compiler at 32 layers; int8 caching is
-            # a MEMORY feature: it halves cache HBM so bigger batches /
-            # longer contexts fit)
-            return buf.astype(cd) if isinstance(buf, QuantizedArray) else buf
+            # Dequantize the int8 cache for the attention dots and FORCE
+            # materialisation (optimization_barrier): letting XLA fuse the
+            # dequant into the dots turns them into VPU multiply-reduce
+            # fusions off the MXU -- profiled at ~26 ms/step on the
+            # full-32-layer decode, vs ~4 ms for materialise-then-MXU-dot.
+            # (Score-folded int8 consumption was also tried: slower still,
+            # and crashed the compiler at 32 layers.)
+            if isinstance(buf, QuantizedArray):
+                s = buf.scale.astype(cd).transpose(0, 2, 1)   # (B, S, H)
+                return jax.lax.optimization_barrier(
+                    buf.q.astype(cd) * s[..., None])
+            return buf
 
         idx = cache_slice["index"]
         ck = _write_cache(cache_slice["k"], k, idx)

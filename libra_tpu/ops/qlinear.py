@@ -18,11 +18,14 @@ from __future__ import annotations
 
 import contextlib
 import contextvars
+import os
 
 import jax
 import jax.numpy as jnp
 
-_KERNEL_ENABLED = contextvars.ContextVar("libra_int8_kernel", default=True)
+_KERNEL_ENABLED = contextvars.ContextVar(
+    "libra_int8_kernel",
+    default=os.environ.get("LIBRA_DISABLE_INT8_KERNEL", "0") != "1")
 
 
 @contextlib.contextmanager

@@ -139,7 +139,9 @@ def cache_shardings(mesh: Mesh, cfg: LibraConfig, quantized: bool = False):
     spec = P(None, "data", None, "model", None)
     kv = NamedSharding(mesh, spec)
     if quantized:
-        kv = QuantizedArray(kv, NamedSharding(mesh, spec))
+        # scales are (L, B, H, S) -- heads over "model", sequence minor
+        kv = QuantizedArray(
+            kv, NamedSharding(mesh, P(None, "data", "model", None)))
     return KVCache(
         k=kv, v=kv,
         kb=kv if cfg.use_bridge else None,

@@ -113,11 +113,16 @@ def test_int8_kv_cache_roundtrip_bound():
 
     cfg = LibraConfig.tiny()
     cache = M.init_cache(cfg, batch=2, max_len=8, quantized=True)
+    H = cfg.num_attention_heads
+    # scale layout is sequence-minor (B, H, S): a trailing size-1 dim
+    # would be tile-padded 128x on TPU (see init_cache docstring)
+    assert cache.k.scale.shape == (cfg.num_hidden_layers, 2, H, 8)
     new = np.random.RandomState(0).randn(
-        2, 3, cfg.num_attention_heads, cfg.head_dim).astype(np.float32)
+        2, 3, H, cfg.head_dim).astype(np.float32)
     buf = jax.jit(lambda b, n: _write_cache(b, jnp.asarray(n), 2))(
-        cache.k[0], new)    # layer-0 slice (B, S, H, d)
-    got = np.asarray(buf.astype(jnp.float32))[:, 2:5]
+        cache.k[0], new)    # layer-0 slice: q (B, S, H, d), scale (B, H, S)
+    scale = np.asarray(buf.scale).transpose(0, 2, 1)[..., None]  # (B,S,H,1)
+    got = (np.asarray(buf.q, np.float32) * scale)[:, 2:5]
     amax = np.abs(new).max(axis=-1, keepdims=True)
     assert (np.abs(got - new) <= amax / 254 + 1e-7).all()
 
