@@ -199,17 +199,19 @@ ACHIEVABLE_GBPS = 733.0
 
 
 def _decode_roofline(cfg, params, B, S):
-    """Bytes every decode step must move: ALL weight bytes (each weight is
-    read once per step; int8 leaves count q+scale bytes) + the full static
-    KV buffers (k/v/kb/vb are read over their whole (B, S) extent each
-    step -- static shapes)."""
+    """Bytes every decode step must move: every matmul weight is read once
+    per step (int8 leaves count q+scale bytes; embedding tables are
+    excluded -- gathers touch only B rows) + the full static KV buffers
+    (k/v/kb/vb are read over their whole (B, S) extent each step)."""
     import jax
 
     from libra_tpu.quantization import QuantizedArray
 
     weight_bytes = 0
-    for leaf in jax.tree_util.tree_leaves(
+    for path, leaf in jax.tree_util.tree_leaves_with_path(
             params, is_leaf=lambda x: isinstance(x, QuantizedArray)):
+        if "embed" in str(path):
+            continue
         if isinstance(leaf, QuantizedArray):
             weight_bytes += leaf.q.size + leaf.scale.size * 4
         else:
@@ -268,11 +270,12 @@ def bench_decode_full_int8(B=4, text_len=32, max_new=64):
     return max_new * B / dt, dt, roofline
 
 
-def bench_vqa_fused_full32(B=1, text_len=32, max_new=64):
+def bench_vqa_fused_full32(B=4, text_len=32, max_new=64):
     """BASELINE configs 3-4 at REAL scale: the full 32-layer 11B flagship
-    (int8 weights + int8 KV) answering a single-image VQA prompt with
-    CLIP+VQGAN encode fused into the prefill program. Returns
-    (ttft_s, decode_tok_s)."""
+    (int8 weights + int8 KV) answering batched single-image VQA prompts
+    with CLIP+VQGAN encode fused into the prefill program (batched
+    continuous decode per BASELINE config 4). Returns
+    (ttft_s, aggregate decode_tok_s)."""
     import jax
     import jax.numpy as jnp
 

@@ -109,6 +109,9 @@ def _generate_impl(params, input_ids, attention_mask, vision_indices,
     Q, B, N = input_ids.shape
     Mv = cfg.max_vision_token_length
     S = N + gen.max_new_tokens
+    # cache/mask length rounds up to 128 so the fused int8 decode-attention
+    # kernel applies (extra positions stay masked; tokens buffer keeps S)
+    Sc = -(-S // 128) * 128
 
     if pixels is not None:
         # fused vision path: CLIP+VQGAN encode runs INSIDE this program, so
@@ -133,14 +136,14 @@ def _generate_impl(params, input_ids, attention_mask, vision_indices,
     if impl == "auto":
         impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
 
-    cache = M.init_cache(cfg, B, S, quantized=gen.kv_quant)
+    cache = M.init_cache(cfg, B, Sc, quantized=gen.kv_quant)
     if cache_shardings is not None:
         # pin the KV cache layout: heads sharded over the "model" mesh axis
         # (decode-time KV lives distributed over ICI); the while_loop carry
         # then keeps this placement for the whole decode
         cache = jax.tree_util.tree_map(jax.lax.with_sharding_constraint,
                                        cache, cache_shardings)
-    mask_buf = jnp.zeros((B, S), jnp.int32).at[:, :N].set(attention_mask)
+    mask_buf = jnp.zeros((B, Sc), jnp.int32).at[:, :N].set(attention_mask)
     if cfg.use_2d_rope:
         # (B, 2, N) row/col positions (reference: get_2d_position_ids;
         # decode advances a carried base counter instead of re-deriving)

@@ -394,6 +394,7 @@ def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
         kb = rope(kb, cos, sin, position_ids)  # rope is linear: rope(K+Kb)
 
     new_cache = None
+    decode_kernel_out = None
     if cache_slice is not None:
         from libra_tpu.quantization import QuantizedArray
         cd = q.dtype
@@ -416,19 +417,44 @@ def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
         ck = _write_cache(cache_slice["k"], k, idx)
         cv = _write_cache(cache_slice["v"], v, idx)
         new_cache = {"k": ck, "v": cv}
-        k, v = rd(ck), rd(cv)
+        ckb = cvb = None
         if cfg.use_bridge:
             ckb = _write_cache(cache_slice["kb"], kb, idx)
             cvb = _write_cache(cache_slice["vb"], vb, idx)
             new_cache.update({"kb": ckb, "vb": cvb})
-            kb, vb = rd(ckb), rd(cvb)
+
+        from libra_tpu.ops.qlinear import kernel_active
+        S = ck.shape[1] if hasattr(ck, "shape") else ck.q.shape[1]
+        if (isinstance(ck, QuantizedArray) and q.shape[1] == 1
+                and S % 128 == 0 and cfg.head_dim % 128 == 0
+                and rng_attn is None and kernel_active()):
+            # fused decode attention: reads the raw int8 cache once,
+            # dequant + scores + softmax + value sums on the MXU per
+            # (batch, head) cell -- replaces three XLA passes over the
+            # cache bytes (~11 ms/step at 32 layers)
+            from libra_tpu.ops.pallas.decode_attention import (
+                int8_decode_attention)
+            decode_kernel_out = int8_decode_attention(
+                q, ck.q, ck.scale, cv.q, cv.scale,
+                kbq=None if ckb is None else ckb.q,
+                kbs=None if ckb is None else ckb.scale,
+                vbq=None if cvb is None else cvb.q,
+                vbs=None if cvb is None else cvb.scale,
+                flag_q=flag[:, 0], kv_flag=kv_flag,
+                bias=bias[:, 0, 0])
+        else:
+            k, v = rd(ck), rd(cv)
+            if cfg.use_bridge:
+                kb, vb = rd(ckb), rd(cvb)
 
     # attention-prob dropout is only implemented on the XLA path; force it
     # when active (the Pallas flash kernel never rematerialises the probs)
     attn_drop_on = rng_attn is not None and cfg.attn_pdrop > 0.0
     block_q = (_choose_block_q(q.shape[1])
                if attn_impl == "pallas" and not attn_drop_on else None)
-    if block_q is not None:
+    if decode_kernel_out is not None:
+        out = decode_kernel_out
+    elif block_q is not None:
         from libra_tpu.ops.pallas.flash_bridge import flash_bridged_attention
         out = flash_bridged_attention(q, k, v, kb, vb, flag, kv_flag,
                                       bias, block_q=block_q)

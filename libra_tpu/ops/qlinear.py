@@ -38,15 +38,19 @@ def kernel_enabled(flag: bool):
         _KERNEL_ENABLED.reset(token)
 
 
+def kernel_active() -> bool:
+    """True when Pallas int8 kernels may be emitted in the current trace
+    (enabled context + TPU backend)."""
+    return _KERNEL_ENABLED.get() and jax.default_backend() == "tpu"
+
+
 def qdot(x: jax.Array, w) -> jax.Array:
     """x @ w -> (..., F). w: plain (K, F) array, QuantizedArray with
     per-out-channel scales (scale (1, F)), or a LayerView of a stacked
     quantized weight."""
     from libra_tpu.quantization import LayerView, QuantizedArray
 
-    use_kernel = (_KERNEL_ENABLED.get()
-                  and jax.default_backend() == "tpu")
-    if use_kernel and isinstance(w, (QuantizedArray, LayerView)):
+    if kernel_active() and isinstance(w, (QuantizedArray, LayerView)):
         from libra_tpu.ops.pallas.int8_matmul import int8_matmul, supports
         if isinstance(w, LayerView):
             qa = w.qa

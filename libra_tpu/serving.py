@@ -127,6 +127,8 @@ class ServingEngine:
             params = jax.device_put(params)
         self.params = params
         self.B = max_batch
+        # pass max_len as a multiple of 128 with kv_quant to hit the fused
+        # int8 decode-attention kernel (its cache-length alignment gate)
         self.S = max_len
         self._prefill_fns: Dict[int, Any] = {}
         self._decode_fn = None

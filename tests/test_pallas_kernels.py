@@ -89,8 +89,11 @@ def test_int8_matmul_interpret():
     from libra_tpu.quantization import quantize_array
 
     rng = np.random.RandomState(0)
-    K, F = 256, 384
-    for M, lead in [(1, (1,)), (4, (4,)), (6, (2, 3))]:
+    # (200, 312) exercises the exact zero-padding path for unaligned K/F
+    for (K, F), (M, lead) in [((256, 384), (1, (1,))),
+                              ((256, 384), (4, (4,))),
+                              ((256, 384), (6, (2, 3))),
+                              ((200, 312), (4, (4,)))]:
         w = rng.randn(K, F).astype(np.float32) * 0.1
         qa = quantize_array(w, axis=-2)
         x = rng.randn(*lead, K).astype(np.float32) * 0.5
@@ -156,3 +159,51 @@ def test_layer_view_astype_matches_slice():
     np.testing.assert_array_equal(
         np.asarray(v.astype(jnp.float32)),
         qa.q[1].astype(np.float32) * qa.scale[1])
+
+
+@pytest.mark.parametrize("use_bridge", [True, False])
+def test_int8_decode_attention_matches_xla(use_bridge):
+    """Fused int8 decode attention (interpret) vs bridged_attention over
+    the dequantized cache -- the XLA decode path it replaces."""
+    from libra_tpu.ops.pallas.decode_attention import int8_decode_attention
+
+    B, S, H, d = 2, 128, 2, 128
+    rng = np.random.RandomState(0)
+
+    def qbuf(seed):
+        x = np.random.RandomState(seed).randn(B, S, H, d).astype(np.float32)
+        a = np.abs(x).max(-1, keepdims=True)
+        scale = np.where(a > 0, a, 1.0) / 127.0
+        qv = np.clip(np.round(x / scale), -127, 127).astype(np.int8)
+        return (jnp.asarray(qv),
+                jnp.asarray(scale[..., 0].transpose(0, 2, 1)))  # (B, H, S)
+
+    kq, ks = qbuf(1)
+    vq, vs = qbuf(2)
+    kbq, kbs = qbuf(3) if use_bridge else (None, None)
+    vbq, vbs = qbuf(4) if use_bridge else (None, None)
+    q = jnp.asarray(rng.randn(B, 1, H, d).astype(np.float32))
+    flag_q = jnp.asarray([True, False])
+    kv_flag = jnp.asarray(rng.rand(B, S) < 0.4)
+    # mask out a tail (unwritten cache positions) + some pad slots
+    keep = np.ones((B, S), bool)
+    keep[:, 100:] = False
+    keep[0, :3] = False
+    bias = jnp.asarray(np.where(keep, 0.0, -2.0 ** 30).astype(np.float32))
+
+    got = int8_decode_attention(
+        q.astype(jnp.bfloat16), kq, ks, vq, vs, kbq=kbq, kbs=kbs,
+        vbq=vbq, vbs=vbs, flag_q=flag_q, kv_flag=kv_flag, bias=bias,
+        interpret=True)
+
+    def deq(qv, s):
+        return qv.astype(jnp.float32) * jnp.transpose(s, (0, 2, 1))[..., None]
+
+    want = bridged_attention(
+        AttentionInputs(q, deq(kq, ks), deq(vq, vs),
+                        deq(kbq, kbs) if use_bridge else None,
+                        deq(vbq, vbs) if use_bridge else None),
+        jnp.broadcast_to(flag_q[:, None], (B, 1)), kv_flag,
+        bias[:, None, None, :])
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), rtol=3e-2, atol=3e-2)
