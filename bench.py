@@ -8,10 +8,11 @@ vs_baseline is null: the reference publishes no performance numbers
 
 Headline metric: greedy decode tokens/sec of the FULL 32-layer 11B model
 (weight-only int8 + int8 KV cache) on a single chip -- a configuration the
-bf16 reference cannot run on 16 GB at all. Extras: vision encode+tokenize
-throughput (CLIP ViT-L + LFQ) and the fused single-image-VQA shape (TTFT +
-decode rate with CLIP+VQGAN encode hidden inside the prefill program,
-8-layer bf16 variant).
+bf16 reference cannot run on 16 GB at all -- with a printed bytes-moved
+roofline. Extras: vision encode+tokenize throughput (CLIP ViT-L + LFQ),
+the full-32 fused single-image-VQA shape (TTFT + batched decode with
+CLIP+VQGAN encode hidden inside the prefill program), and the fused LAION
+pretrain step (tokens/s + MFU).
 
 Every stage runs in its own subprocess with a hard timeout (a wedged
 remote-TPU tunnel hangs instead of failing) and timed passes are best-of-2
@@ -408,10 +409,6 @@ def _stage(name, t0):
 _STAGES = {
     "vision_encode": (lambda: {"vision_encode_img_s_b8":
                                round(bench_vision_encode(), 2)}, 480),
-    "vqa_fused": (lambda: dict(zip(
-        ("vqa_fused_ttft_ms", "vqa_fused_decode_tok_s"),
-        (lambda r: (round(r[0] * 1000, 1), round(r[1], 2)))(
-            bench_vqa_fused()))), 900),
     "decode_full32_int8": (lambda: (lambda r: {
         "decode_full32_tok_s": round(r[0], 2),
         "decode_full32_wall_s": round(r[1], 3), **r[2]})(

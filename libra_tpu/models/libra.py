@@ -424,14 +424,19 @@ def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
             new_cache.update({"kb": ckb, "vb": cvb})
 
         from libra_tpu.ops.qlinear import kernel_active
+        import os as _os
         S = ck.shape[1] if hasattr(ck, "shape") else ck.q.shape[1]
         if (isinstance(ck, QuantizedArray) and q.shape[1] == 1
                 and S % 128 == 0 and cfg.head_dim % 128 == 0
-                and rng_attn is None and kernel_active()):
-            # fused decode attention: reads the raw int8 cache once,
-            # dequant + scores + softmax + value sums on the MXU per
-            # (batch, head) cell -- replaces three XLA passes over the
-            # cache bytes (~11 ms/step at 32 layers)
+                and cfg.num_attention_heads % 8 == 0
+                and rng_attn is None and kernel_active()
+                and _os.environ.get("LIBRA_DECODE_ATTN_KERNEL") == "1"):
+            # EXPERIMENTAL (opt-in): fused decode attention reading the
+            # raw int8 cache. On the current head-interleaved (B,S,H,d)
+            # cache layout its per-head-block DMAs are 1KB-strided and it
+            # measured SLOWER than the materialise-then-MXU XLA path
+            # (11.6 vs 76.4 tok/s full-32); it needs a head-major
+            # (B,H,S,d) cache layout to pay off -- left gated until then.
             from libra_tpu.ops.pallas.decode_attention import (
                 int8_decode_attention)
             decode_kernel_out = int8_decode_attention(

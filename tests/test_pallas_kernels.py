@@ -167,7 +167,7 @@ def test_int8_decode_attention_matches_xla(use_bridge):
     the dequantized cache -- the XLA decode path it replaces."""
     from libra_tpu.ops.pallas.decode_attention import int8_decode_attention
 
-    B, S, H, d = 2, 128, 2, 128
+    B, S, H, d = 2, 128, 8, 128
     rng = np.random.RandomState(0)
 
     def qbuf(seed):
