@@ -271,7 +271,7 @@ def bench_decode_full_int8(B=4, text_len=32, max_new=64):
     return max_new * B / dt, dt, roofline
 
 
-def bench_vqa_fused_full32(B=4, text_len=32, max_new=64):
+def bench_vqa_fused_full32(B=2, text_len=32, max_new=64):
     """BASELINE configs 3-4 at REAL scale: the full 32-layer 11B flagship
     (int8 weights + int8 KV) answering batched single-image VQA prompts
     with CLIP+VQGAN encode fused into the prefill program (batched

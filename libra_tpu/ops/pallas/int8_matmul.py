@@ -80,21 +80,12 @@ def int8_matmul(x: jax.Array, q: jax.Array, scale: jax.Array,
     assert q.shape[-2] == K and scale.shape[-2:] == (1, F), \
         (q.shape, scale.shape)
 
-    # MXU alignment by zero-padding (exact: padded K rows are zeros in q so
-    # x's pad cols contribute nothing; padded F cols are sliced off).
-    # Weight pads are loop-invariant -- XLA hoists them out of the decode
-    # while-loop, so the padded copy is built once per call, not per step.
-    # (The 11B vision_gate/up weights have K/F = 2752.)
-    Kp = -(-K // 128) * 128
-    Fp = -(-F // 128) * 128
-    if Kp != K or Fp != F:
-        pad_w = [(0, 0)] * (q.ndim - 2) + [(0, Kp - K), (0, Fp - F)]
-        q = jnp.pad(q, pad_w)
-        scale = jnp.pad(scale, [(0, 0)] * (scale.ndim - 1) + [(0, Fp - F)])
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, Kp - K)])
-        out = int8_matmul(x, q, scale, idx=idx, interpret=interpret)
-        return out[..., :F]
-
+    # NOTE on alignment: unaligned K/F could be zero-padded exactly, but
+    # XLA does NOT hoist the (loop-invariant) pads of the stacked weights
+    # out of the decode while-loop -- measured as a full re-pad of ~2.7 GB
+    # per decode step (76 -> 12 tok/s). Callers gate on alignment instead
+    # (supports()); unaligned projections take the XLA dequant einsum.
+    assert K % 128 == 0 and F % 128 == 0, (K, F)
     xm = x.reshape(-1, K).astype(jnp.bfloat16)
     M = xm.shape[0]
     Mp = max(16, -(-M // 16) * 16)          # bf16 sublane tile is 16
@@ -151,11 +142,13 @@ def int8_matmul(x: jax.Array, q: jax.Array, scale: jax.Array,
 
 def supports(x, q, scale) -> bool:
     """Shape/layout gate for the kernel: 2D (or stacked 3D) weight,
-    per-out-channel scale, and a small-M (decode-shaped) left operand.
-    Unaligned K/F are handled by exact zero-padding inside int8_matmul."""
+    per-out-channel scale, MXU-aligned dims, and a small-M (decode-shaped)
+    left operand. (Unaligned K/F stay on the XLA dequant einsum -- see the
+    alignment note in int8_matmul.)"""
     if q.ndim not in (2, 3) or scale.shape[-2:] != (1, q.shape[-1]):
         return False
-    if x.shape[-1] != q.shape[-2]:
+    K, F = q.shape[-2], q.shape[-1]
+    if K % 128 or F % 128 or x.shape[-1] != K:
         return False
     import numpy as np
     M = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1

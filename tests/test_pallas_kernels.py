@@ -89,11 +89,9 @@ def test_int8_matmul_interpret():
     from libra_tpu.quantization import quantize_array
 
     rng = np.random.RandomState(0)
-    # (200, 312) exercises the exact zero-padding path for unaligned K/F
     for (K, F), (M, lead) in [((256, 384), (1, (1,))),
                               ((256, 384), (4, (4,))),
-                              ((256, 384), (6, (2, 3))),
-                              ((200, 312), (4, (4,)))]:
+                              ((256, 384), (6, (2, 3)))]:
         w = rng.randn(K, F).astype(np.float32) * 0.1
         qa = quantize_array(w, axis=-2)
         x = rng.randn(*lead, K).astype(np.float32) * 0.5
