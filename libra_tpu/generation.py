@@ -109,9 +109,12 @@ def _generate_impl(params, input_ids, attention_mask, vision_indices,
     Q, B, N = input_ids.shape
     Mv = cfg.max_vision_token_length
     S = N + gen.max_new_tokens
-    # cache/mask length rounds up to 128 so the fused int8 decode-attention
-    # kernel applies (extra positions stay masked; tokens buffer keeps S)
-    Sc = -(-S // 128) * 128
+    # cache/mask length rounds up to 128 ONLY when the (opt-in) fused
+    # decode-attention kernel needs its alignment -- the rounding itself
+    # costs ~14% extra KV traffic per step (extra positions are masked)
+    import os as _os
+    Sc = (-(-S // 128) * 128
+          if _os.environ.get("LIBRA_DECODE_ATTN_KERNEL") == "1" else S)
 
     if pixels is not None:
         # fused vision path: CLIP+VQGAN encode runs INSIDE this program, so
