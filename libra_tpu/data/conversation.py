@@ -45,34 +45,57 @@ class Conversation:
         self.messages.append([role, message])
 
     def get_prompt(self) -> str:
+        # An image-carrying first message is a TUPLE (text, image, mode)
+        # (demo/UI path). The reference strips the "<image>" marker from it
+        # and re-frames: mmtag versions insert an <Image><image></Image> /
+        # "Received." exchange up front, plain versions prepend "<image>\n"
+        # (reference: libra/data/datasets/conversation.py:30-40).
+        messages = self.messages
+        if messages and isinstance(messages[0][1], tuple):
+            messages = list(self.messages)
+            init_role, init_msg = messages[0][0], messages[0][1]
+            init_msg = init_msg[0].replace("<image>", "").strip()
+            if "mmtag" in self.version:
+                messages[0] = (init_role, init_msg)
+                messages.insert(0, (self.roles[0], "<Image><image></Image>"))
+                messages.insert(1, (self.roles[1], "Received."))
+            else:
+                messages[0] = (init_role, "<image>\n" + init_msg)
+
+        def text(msg):
+            # later tuple messages render their text part only
+            return msg[0] if isinstance(msg, tuple) else msg
+
         style = self.sep_style
         if style == SeparatorStyle.SINGLE:
             out = self.system + self.sep
-            for role, msg in self.messages:
-                out += f"{role}: {msg}{self.sep}" if msg else f"{role}:"
+            for role, msg in messages:
+                out += f"{role}: {text(msg)}{self.sep}" if msg else f"{role}:"
             return out
         if style == SeparatorStyle.TWO:
             seps = (self.sep, self.sep2)
             out = self.system + seps[0]
-            for i, (role, msg) in enumerate(self.messages):
-                out += f"{role}: {msg}{seps[i % 2]}" if msg else f"{role}:"
+            for i, (role, msg) in enumerate(messages):
+                out += (f"{role}: {text(msg)}{seps[i % 2]}" if msg
+                        else f"{role}:")
             return out
         if style == SeparatorStyle.MPT:
             out = self.system + self.sep
-            for role, msg in self.messages:
-                out += f"{role}{msg}{self.sep}" if msg else role
+            for role, msg in messages:
+                out += f"{role}{text(msg)}{self.sep}" if msg else role
             return out
         if style == SeparatorStyle.PLAIN:
             seps = (self.sep, self.sep2)
             out = self.system
-            for i, (_, msg) in enumerate(self.messages):
-                out += f"{msg}{seps[i % 2]}" if msg else ""
+            for i, (_, msg) in enumerate(messages):
+                out += f"{text(msg)}{seps[i % 2]}" if msg else ""
             return out
         if style == SeparatorStyle.LLAMA_2:
             out = ""
-            for i, (role, msg) in enumerate(self.messages):
+            for i, (role, msg) in enumerate(messages):
                 if not msg:
                     continue
+                msg = text(msg)
                 if i == 0:
                     msg = f"<<SYS>>\n{self.system}\n<</SYS>>\n\n{msg}"
                 if i % 2 == 0:

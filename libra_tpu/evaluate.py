@@ -93,7 +93,7 @@ def main(argv=None):
             arrays = wrapper.prepare_batch(batch)
             losses.append(float(trainer._eval(
                 trainer.state, trainer.shard_batch(arrays))))
-            if len(losses) * 8 >= args.max_samples:
+            if len(losses) * bs >= args.max_samples:
                 break
         result = {"eval_loss": sum(losses) / max(1, len(losses)),
                   "batches": len(losses)}

@@ -19,7 +19,7 @@ from __future__ import annotations
 import math
 import re
 from collections import Counter, defaultdict
-from typing import Dict, Iterable, List, Sequence
+from typing import Dict, Iterable, List, Optional, Sequence
 
 _PUNCT = re.compile(r"[^\w\s]")
 _ARTICLES = {"a", "an", "the"}
@@ -39,29 +39,43 @@ def _ngrams(tokens: Sequence[str], n: int) -> Counter:
 
 def cider_d(candidates: Dict[str, str],
             references: Dict[str, List[str]],
-            n_max: int = 4, sigma: float = 6.0) -> float:
+            n_max: int = 4, sigma: float = 6.0,
+            df_corpus: Optional[Dict[str, List[str]]] = None) -> float:
     """Corpus CIDEr-D. candidates: image_id -> caption;
-    references: image_id -> list of reference captions."""
+    references: image_id -> list of reference captions.
+
+    IDF document frequencies are computed over `df_corpus` when given
+    (pass the FULL split's references to match official coco-caption
+    numbers); otherwise over the scored subset only -- scores from
+    partial runs (evaluate --max-samples) are then internally consistent
+    but NOT comparable with full-corpus numbers (ADVICE r2 finding 4).
+    """
     ids = [i for i in candidates if i in references and references[i]]
     if not ids:
         return 0.0
 
-    # document frequency over the reference corpus (per image)
+    # document frequency corpus: full split if provided, scored subset else
+    df_refs = df_corpus if df_corpus is not None else references
+    df_ids = ([i for i in df_refs if df_refs[i]]
+              if df_corpus is not None else ids)
     df: List[Dict] = [defaultdict(float) for _ in range(n_max)]
+    for i in df_ids:
+        seen = [set() for _ in range(n_max)]
+        for r in df_refs[i]:
+            toks = tokenize(r)
+            for n in range(n_max):
+                seen[n].update(_ngrams(toks, n + 1))
+        for n in range(n_max):
+            for g in seen[n]:
+                df[n][g] += 1.0
     ref_grams = {}
     for i in ids:
-        seen = [set() for _ in range(n_max)]
         ref_grams[i] = []
         for r in references[i]:
             toks = tokenize(r)
             grams = [_ngrams(toks, n + 1) for n in range(n_max)]
             ref_grams[i].append((grams, len(toks)))
-            for n in range(n_max):
-                seen[n].update(grams[n])
-        for n in range(n_max):
-            for g in seen[n]:
-                df[n][g] += 1.0
-    log_n = math.log(max(len(ids), 1))
+    log_n = math.log(max(len(df_ids), 1))
 
     def vec(grams: Counter, n: int):
         v = {}
@@ -165,6 +179,8 @@ def score_captions(preds: Iterable[Dict], annotations: Iterable[Dict]) -> Dict:
         elif cap:
             refs[key].append(cap)
     cands = {str(p["image_id"]): p["caption"] for p in preds}
-    return {"cider_d": round(cider_d(cands, refs), 4),
+    # df_corpus=refs: IDF over every annotation row given, not just the
+    # predicted subset, so partial-run scores use the split's DF table
+    return {"cider_d": round(cider_d(cands, refs, df_corpus=refs), 4),
             "bleu4": round(bleu4(cands, refs), 4),
             "scored": len([i for i in cands if i in refs])}

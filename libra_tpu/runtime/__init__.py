@@ -85,8 +85,12 @@ class NativeShardStream:
         if not self.shards:
             raise FileNotFoundError(f"no shards match {location}")
         # http(s) sources stream through a curl pipe (the C++ reader's
-        # remote path is popen; pipe: shards pass through unchanged)
-        self.shards = [f"pipe:curl -fsSL '{s}'"
+        # remote path is popen; pipe: shards pass through unchanged).
+        # shlex.quote: the URL reaches a shell via popen -- unquoted
+        # metacharacters in an untrusted shard list would be command
+        # injection (ADVICE r2 finding 1)
+        import shlex
+        self.shards = [f"pipe:curl -fsSL {shlex.quote(s)}"
                        if s.startswith(("http://", "https://")) else s
                        for s in self.shards]
         pi, pc = resolve_process(process_index, process_count)

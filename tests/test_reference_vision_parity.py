@@ -138,6 +138,30 @@ def test_conversation_templates_match_reference(ref_path):
         assert our_c.get_prompt() == ref_c.get_prompt(), name
 
 
+def test_conversation_tuple_message_mmtag_parity(ref_path):
+    """Tuple (image-carrying) first messages: the mmtag image preamble and
+    the <image>\\n prepend match the reference renderer byte-for-byte
+    (libra/data/datasets/conversation.py:30-40)."""
+    import importlib
+    ref_conv = importlib.import_module("libra.data.datasets.conversation")
+    from libra_tpu.data import conversation as our_conv
+
+    first = ("what is shown <image> here?", "<fake image>", "Default")
+    follow = [("assistant", "A cat."), ("user", "Are you sure?"),
+              ("assistant", None)]
+    for name in sorted(set(ref_conv.conv_templates)):
+        if "plain" in name:
+            continue   # PLAIN renders no roles; tuple path is chat-only
+        ref_c = ref_conv.conv_templates[name].copy()
+        our_c = our_conv.conv_templates[name].copy()
+        ref_c.append_message(ref_c.roles[0], first)
+        our_c.append_message(our_c.roles[0], first)
+        for i, (_, text) in enumerate(follow):
+            ref_c.append_message(ref_c.roles[(i + 1) % 2], text)
+            our_c.append_message(our_c.roles[(i + 1) % 2], text)
+        assert our_c.get_prompt() == ref_c.get_prompt(), name
+
+
 def test_conv_encoder_matches_reference(ref_path):
     """taming conv Encoder parity through convert_vqgan_encoder (the
     non-CLIP tokenizer variant, model.py:380-471)."""
