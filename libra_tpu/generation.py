@@ -109,12 +109,13 @@ def _generate_impl(params, input_ids, attention_mask, vision_indices,
     Q, B, N = input_ids.shape
     Mv = cfg.max_vision_token_length
     S = N + gen.max_new_tokens
-    # cache/mask length rounds up to 128 ONLY when the (opt-in) fused
-    # decode-attention kernel needs its alignment -- the rounding itself
-    # costs ~14% extra KV traffic per step (extra positions are masked)
-    import os as _os
-    Sc = (-(-S // 128) * 128
-          if _os.environ.get("LIBRA_DECODE_ATTN_KERNEL") == "1" else S)
+    # Quantized caches round their length up to 128: the fused decode-
+    # attention kernel (the default quantized decode path) needs S-aligned
+    # blocks. Extra positions are masked; their traffic cost is bounded by
+    # the kernel's one-pass read replacing the XLA triple pass. The
+    # rounding depends only on GenerationConfig -- program shape is a pure
+    # function of the compile-cache key (ADVICE r2 finding 2).
+    Sc = -(-S // 128) * 128 if gen.kv_quant else S
 
     if pixels is not None:
         # fused vision path: CLIP+VQGAN encode runs INSIDE this program, so

@@ -176,7 +176,14 @@ def init_cache(cfg: LibraConfig, batch: int, max_len: int,
     cache's HBM footprint AND its per-step read traffic (net-new vs the
     reference's fp16 tuple cache, modeling_libra.py:344-361).
 
-    Scale layout is (L, B, H, S) -- sequence minor -- NOT (L, B, S, H, 1):
+    Quantized buffers are HEAD-MAJOR (L, B, H, S, d): the fused decode-
+    attention kernel (ops/pallas/decode_attention.py) reads each grid
+    cell's heads as one contiguous (hb, S, d) block -- the r2
+    sequence-major layout gave it 1 KB strided DMAs (6x slower than the
+    XLA path it was meant to replace). Plain bf16 buffers stay
+    sequence-major (L, B, S, H, d), the layout bridged_attention consumes.
+
+    Scale layout is (L, B, H, S) -- sequence minor -- NOT (..., S, H, 1):
     a trailing size-1 dim is tile-padded to 128 lanes on TPU, which made
     the scale buffers occupy (and stream) ~100x their logical bytes
     (measured ~13 ms/step of pure scale DMA in the r2 profile)."""
@@ -188,7 +195,7 @@ def init_cache(cfg: LibraConfig, batch: int, max_len: int,
     def z():
         if quantized:
             return QuantizedArray(
-                jnp.zeros((L, batch, max_len, H, d), jnp.int8),
+                jnp.zeros((L, batch, H, max_len, d), jnp.int8),
                 jnp.zeros((L, batch, H, max_len), jnp.float32))
         return jnp.zeros((L, batch, max_len, H, d), dtype)
 
@@ -214,9 +221,9 @@ def _write_seq(buf: jax.Array, new: jax.Array, index) -> jax.Array:
 
 
 def _write_cache(buf, new: jax.Array, index):
-    """buf: (B, S, H, d) array or QuantizedArray(q (B,S,H,d), scale (B,H,S));
-    new: (B, N, H, d); write at sequence offset `index` (per-row when index
-    is a (B,) vector)."""
+    """buf: sequence-major (B, S, H, d) array or HEAD-MAJOR QuantizedArray
+    (q (B, H, S, d), scale (B, H, S)); new: (B, N, H, d); write at sequence
+    offset `index` (per-row when index is a (B,) vector)."""
     from libra_tpu.quantization import QuantizedArray
 
     if isinstance(buf, QuantizedArray):
@@ -224,16 +231,23 @@ def _write_cache(buf, new: jax.Array, index):
         scale = jnp.where(a > 0, a, 1.0) / 127.0
         q = jnp.clip(jnp.round(new.astype(jnp.float32) / scale),
                      -127, 127).astype(jnp.int8)
+        q_hm = q.transpose(0, 2, 1, 3)                       # (B, H, N, d)
         scale_hn = scale[..., 0].transpose(0, 2, 1)          # (B, H, N)
         if getattr(index, "ndim", 0) == 1:
-            def row(b, n, i):   # b: (H, S), n: (H, N)
+            def rowq(b, n, i):   # b: (H, S, d), n: (H, N, d)
+                return jax.lax.dynamic_update_slice(b, n, (0, i, 0))
+
+            def rows(b, n, i):   # b: (H, S), n: (H, N)
                 return jax.lax.dynamic_update_slice(b, n, (0, i))
-            new_scale = jax.vmap(row)(buf.scale,
-                                      scale_hn.astype(buf.scale.dtype), index)
+            new_q = jax.vmap(rowq)(buf.q, q_hm, index)
+            new_scale = jax.vmap(rows)(buf.scale,
+                                       scale_hn.astype(buf.scale.dtype), index)
         else:
+            new_q = jax.lax.dynamic_update_slice(
+                buf.q, q_hm, (0, 0, index, 0))
             new_scale = jax.lax.dynamic_update_slice(
                 buf.scale, scale_hn.astype(buf.scale.dtype), (0, 0, index))
-        return QuantizedArray(_write_seq(buf.q, q, index), new_scale)
+        return QuantizedArray(new_q, new_scale)
     return _write_seq(buf, new, index)
 
 
@@ -406,11 +420,13 @@ def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
             # fusions off the MXU -- profiled at ~26 ms/step on the
             # full-32-layer decode, vs ~4 ms for materialise-then-MXU-dot.
             # (Score-folded int8 consumption was also tried: slower still,
-            # and crashed the compiler at 32 layers.)
+            # and crashed the compiler at 32 layers.) This path now only
+            # serves prefill and non-TPU/fallback decode; TPU decode reads
+            # the raw head-major int8 buffers through the fused kernel.
             if isinstance(buf, QuantizedArray):
-                s = buf.scale.astype(cd).transpose(0, 2, 1)   # (B, S, H)
-                return jax.lax.optimization_barrier(
-                    buf.q.astype(cd) * s[..., None])
+                # head-major (B, H, S, d) -> sequence-major (B, S, H, d)
+                deq = buf.q.astype(cd) * buf.scale.astype(cd)[..., None]
+                return jax.lax.optimization_barrier(deq).transpose(0, 2, 1, 3)
             return buf
 
         idx = cache_slice["index"]
@@ -423,30 +439,23 @@ def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
             cvb = _write_cache(cache_slice["vb"], vb, idx)
             new_cache.update({"kb": ckb, "vb": cvb})
 
-        from libra_tpu.ops.qlinear import kernel_active
-        import os as _os
-        S = ck.shape[1] if hasattr(ck, "shape") else ck.q.shape[1]
-        if (isinstance(ck, QuantizedArray) and q.shape[1] == 1
-                and S % 128 == 0 and cfg.head_dim % 128 == 0
-                and cfg.num_attention_heads % 8 == 0
-                and rng_attn is None and kernel_active()
-                and _os.environ.get("LIBRA_DECODE_ATTN_KERNEL") == "1"):
-            # EXPERIMENTAL (opt-in): fused decode attention reading the
-            # raw int8 cache. On the current head-interleaved (B,S,H,d)
-            # cache layout its per-head-block DMAs are 1KB-strided and it
-            # measured SLOWER than the materialise-then-MXU XLA path
-            # (11.6 vs 76.4 tok/s full-32); it needs a head-major
-            # (B,H,S,d) cache layout to pay off -- left gated until then.
-            from libra_tpu.ops.pallas.decode_attention import (
-                int8_decode_attention)
-            decode_kernel_out = int8_decode_attention(
+        from libra_tpu.ops.pallas import decode_attention as DA
+        if (rng_attn is None and DA.decode_kernel_active()
+                and DA.decode_kernel_applicable(cfg, ck, q.shape[1])):
+            # DEFAULT decode path for quantized caches on TPU: fused
+            # attention reading the raw head-major int8 buffers once --
+            # removes the dequant-materialise triple pass over the cache
+            # (the r2 headline bottleneck, VERDICT r3 item 1). Off under a
+            # TP mesh (pallas_call is opaque to GSPMD -- kernel_active)
+            # and via LIBRA_DECODE_ATTN_KERNEL=0 (captured at import).
+            decode_kernel_out = DA.int8_decode_attention(
                 q, ck.q, ck.scale, cv.q, cv.scale,
                 kbq=None if ckb is None else ckb.q,
                 kbs=None if ckb is None else ckb.scale,
                 vbq=None if cvb is None else cvb.q,
                 vbs=None if cvb is None else cvb.scale,
                 flag_q=flag[:, 0], kv_flag=kv_flag,
-                bias=bias[:, 0, 0])
+                bias=bias[:, 0, 0], interpret=DA.INTERPRET)
         else:
             k, v = rd(ck), rd(cv)
             if cfg.use_bridge:

@@ -1,11 +1,11 @@
-"""Fused bridged decode attention over the int8 KV cache.
+"""Fused bridged decode attention over the head-major int8 KV cache.
 
 One decode step's attention (Nq=1) reads the whole cached K/V history;
 with an int8 cache the XLA path costs three passes over the data per layer
 (dequant-materialise bf16, score reads, value reads -- profiled ~11 ms/step
 on the full-32-layer 11B decode). This kernel reads the RAW int8 buffers
 once, dequantises in VMEM, and runs scores + softmax + value sums on the
-MXU, per (batch, 8-head-block) grid cell:
+MXU, per (batch, head-block) grid cell:
 
     s    = (q . k_int) * k_scale * rsqrt(d)            # (1, S) fp32
     s   += cross ? (q . kb_int) * kb_scale * rsqrt(d)  # bridge keys
@@ -15,25 +15,26 @@ MXU, per (batch, 8-head-block) grid cell:
 Scale folding is exact: K scales are per (token, head) constants along the
 contraction, so (q.k_int)*s == q.(k_int*s); V scales fold into the
 attention row. Semantics match ops/attention.bridged_attention (the
-cross-modality-mask reformulation of modeling_libra.py:267-296,317-327).
+cross-modality-mask reformulation of modeling_libra.py:267-296,317-327;
+cache tuple semantics anchor: modeling_libra.py:363-397).
 
-Layouts: k/v int8 (B, S, H, d) with (B, H, S) fp32 scales (sequence-minor,
-see models.libra.init_cache). Mosaic tiling requires every block's last two
-dims be tile-multiples or full array dims, so the grid cells carry 8-head
-blocks of the (B, S, H, d) buffers -- block (S, 8, d) -- and the kernel
-loops the 8 heads with static slices. S must be a multiple of 128 (callers
-round the cache length up; the extra positions are masked).
+Layouts: k/v int8 HEAD-MAJOR (B, H, S, d) with (B, H, S) fp32 scales
+(sequence-minor, see models.libra.init_cache). Head-major makes each grid
+cell's (hb, S, d) block a CONTIGUOUS run of the cache row -- the r2
+sequence-major layout gave the same kernel 1 KB strided DMAs and made it
+6x SLOWER than the XLA dequant path (11.6 vs 76.4 tok/s full-32); this
+layout is why the kernel is now the default for quantized caches.
+S must be a multiple of 128 (callers round the cache length up; the extra
+positions are masked via `bias`).
 
-STATUS (measured on 1xv5e, full-32 decode): correct but SLOW on the
-head-interleaved (B,S,H,d) cache -- the (S, 8, d) blocks DMA in 1 KB
-strided chunks (11.6 tok/s vs 76.4 for the materialise-then-MXU XLA path).
-Gated behind LIBRA_DECODE_ATTN_KERNEL=1 until the cache moves to a
-head-major (B, H, S, d) layout that makes the per-cell reads contiguous.
+The per-cell head block adapts to S so the double-buffered VMEM working
+set stays bounded (~4 MB of int8 blocks per cell).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,11 +42,41 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG_NEG = -2.0 ** 30
-_HB = 8   # heads per grid cell
+
+# Escape hatch, captured ONCE at import (a trace-time os.environ read would
+# silently disagree with the compiled-program caches keyed only on
+# GenerationConfig -- ADVICE r2 finding 2). Default ON.
+ENABLED = os.environ.get("LIBRA_DECODE_ATTN_KERNEL", "1") != "0"
+
+# Test hook: run the kernel in Pallas interpret mode on non-TPU backends so
+# the model's kernel wiring is exercised by the CPU suite (tests patch this
+# module attribute; production leaves it False).
+INTERPRET = False
+
+
+def decode_kernel_active() -> bool:
+    """Backend gate: TPU (compiled) or the interpret-mode test hook.
+    Composes with ops.qlinear's context gate (off under a TP mesh --
+    pallas_call is opaque to GSPMD)."""
+    from libra_tpu.ops.qlinear import _KERNEL_ENABLED
+    if not _KERNEL_ENABLED.get():
+        return False
+    return jax.default_backend() == "tpu" or INTERPRET
+
+# VMEM budget for one grid cell's int8 KV blocks (double-buffered by the
+# pipeline; q/out/scales/bias are comparatively tiny).
+_CELL_BYTES = 4 * 1024 * 1024
+
+
+def _head_block(H: int, S: int, d: int, n_buf: int) -> int:
+    for hb in (8, 4, 2, 1):
+        if H % hb == 0 and n_buf * hb * S * d <= _CELL_BYTES:
+            return hb
+    return 1
 
 
 def _scores(q_h, k_ref, s_ref, h, inv_sqrt_d):
-    k = k_ref[:, h, :].astype(jnp.bfloat16)             # (S, d)
+    k = k_ref[h].astype(jnp.bfloat16)                   # (S, d) contiguous
     s = jax.lax.dot_general(q_h, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # (1, S)
     return s * s_ref[h] * inv_sqrt_d
@@ -53,7 +84,7 @@ def _scores(q_h, k_ref, s_ref, h, inv_sqrt_d):
 
 def _weighted_v(a, v_ref, s_ref, h):
     av = (a * s_ref[h]).astype(jnp.bfloat16)            # (1, S)
-    return jax.lax.dot_general(av, v_ref[:, h, :].astype(jnp.bfloat16),
+    return jax.lax.dot_general(av, v_ref[h].astype(jnp.bfloat16),
                                (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)  # (1, d)
 
@@ -90,23 +121,26 @@ def _kernel_plain(q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
 def int8_decode_attention(q, kq, ks, vq, vs, kbq=None, kbs=None,
                           vbq=None, vbs=None, flag_q=None, kv_flag=None,
                           bias=None, interpret: bool = False):
-    """q (B, 1, H, d) bf16; kq/vq (B, S, H, d) int8 with (B, H, S) fp32
-    scales; optional bridge tensors; flag_q (B,) / kv_flag (B, S) bool;
-    bias (B, S) additive fp32. Returns (B, 1, H, d) in q.dtype."""
+    """q (B, 1, H, d) bf16; kq/vq HEAD-MAJOR (B, H, S, d) int8 with
+    (B, H, S) fp32 scales; optional bridge tensors; flag_q (B,) /
+    kv_flag (B, S) bool; bias (B, S) additive fp32. Returns (B, 1, H, d)
+    in q.dtype."""
     B, N, H, d = q.shape
-    S = kq.shape[1]
-    assert N == 1 and S % 128 == 0 and H % _HB == 0, (N, S, H)
+    S = kq.shape[2]
+    assert N == 1 and S % 128 == 0 and kq.shape == (B, H, S, d), \
+        (q.shape, kq.shape)
     use_bridge = kbq is not None
+    hb = _head_block(H, S, d, 4 if use_bridge else 2)
     qh = q.reshape(B, H, 1, d)
     bias = bias.astype(jnp.float32).reshape(B, 1, S)
-    grid = (B, H // _HB)
+    grid = (B, H // hb)
 
-    q_spec = pl.BlockSpec((None, _HB, 1, d), lambda b, h: (b, h, 0, 0))
-    kv_spec = pl.BlockSpec((None, S, _HB, d), lambda b, h: (b, 0, h, 0))
-    s_spec = pl.BlockSpec((None, _HB, 1, S), lambda b, h: (b, h, 0, 0))
+    q_spec = pl.BlockSpec((None, hb, 1, d), lambda b, h: (b, h, 0, 0))
+    kv_spec = pl.BlockSpec((None, hb, S, d), lambda b, h: (b, h, 0, 0))
+    s_spec = pl.BlockSpec((None, hb, 1, S), lambda b, h: (b, h, 0, 0))
     row_spec = pl.BlockSpec((None, 1, S), lambda b, h: (b, 0, 0))
     fq_spec = pl.BlockSpec((None, 1, 1), lambda b, h: (b, 0, 0))
-    out_spec = pl.BlockSpec((None, _HB, 1, d), lambda b, h: (b, h, 0, 0))
+    out_spec = pl.BlockSpec((None, hb, 1, d), lambda b, h: (b, h, 0, 0))
     out_shape = jax.ShapeDtypeStruct((B, H, 1, d), q.dtype)
 
     def sc(s):
@@ -136,3 +170,15 @@ def int8_decode_attention(q, kq, ks, vq, vs, kbq=None, kbs=None,
             interpret=interpret,
         )(qh.astype(jnp.bfloat16), kq, sc(ks), vq, sc(vs), bias)
     return out.reshape(B, 1, H, d)
+
+
+def decode_kernel_applicable(cfg, cache_k, q_len: int) -> bool:
+    """Static gate: the fused kernel handles this decode step's shapes.
+    (Backend/TP gating is the caller's via ops.qlinear.kernel_active.)"""
+    from libra_tpu.quantization import QuantizedArray
+    if not ENABLED or q_len != 1:
+        return False
+    if not isinstance(cache_k, QuantizedArray):
+        return False
+    S = cache_k.q.shape[2]
+    return S % 128 == 0 and cfg.head_dim % 128 == 0

@@ -128,8 +128,9 @@ def shard_params(mesh: Mesh, params: Any) -> Any:
 
 
 def cache_shardings(mesh: Mesh, cfg: LibraConfig, quantized: bool = False):
-    """NamedShardings for the decode KVCache (k/v/kb/vb:
-    (L, B, S, H, head_dim)): attention heads shard over the "model" axis --
+    """NamedShardings for the decode KVCache (k/v/kb/vb: bf16
+    (L, B, S, H, head_dim); int8 head-major (L, B, H, S, head_dim)):
+    attention heads shard over the "model" axis --
     the decode-time KV cache lives sharded over ICI (the serving north
     star), batch over "data". flag/index replicate (tiny). quantized=True
     mirrors the int8 cache structure (q + per-(token, head) scale)."""
@@ -139,9 +140,11 @@ def cache_shardings(mesh: Mesh, cfg: LibraConfig, quantized: bool = False):
     spec = P(None, "data", None, "model", None)
     kv = NamedSharding(mesh, spec)
     if quantized:
-        # scales are (L, B, H, S) -- heads over "model", sequence minor
+        # int8 buffers are HEAD-MAJOR (L, B, H, S, d) with (L, B, H, S)
+        # scales -- heads over "model" in both
         kv = QuantizedArray(
-            kv, NamedSharding(mesh, P(None, "data", "model", None)))
+            NamedSharding(mesh, P(None, "data", "model", None, None)),
+            NamedSharding(mesh, P(None, "data", "model", None)))
     return KVCache(
         k=kv, v=kv,
         kb=kv if cfg.use_bridge else None,

@@ -127,9 +127,10 @@ class ServingEngine:
             params = jax.device_put(params)
         self.params = params
         self.B = max_batch
-        # pass max_len as a multiple of 128 with kv_quant to hit the fused
-        # int8 decode-attention kernel (its cache-length alignment gate)
-        self.S = max_len
+        # quantized caches round up to 128 so the fused int8 decode-
+        # attention kernel (the default quantized decode path) always
+        # has its S alignment; capacity only grows
+        self.S = -(-max_len // 128) * 128 if self.gen.kv_quant else max_len
         self._prefill_fns: Dict[int, Any] = {}
         self._decode_fn = None
         self._is_2d = cfg.vision_prediction_mode == "2d"

@@ -169,12 +169,13 @@ def test_int8_decode_attention_matches_xla(use_bridge):
     rng = np.random.RandomState(0)
 
     def qbuf(seed):
-        x = np.random.RandomState(seed).randn(B, S, H, d).astype(np.float32)
+        # HEAD-MAJOR (B, H, S, d) int8 with (B, H, S) scales -- the
+        # quantized-cache layout (models.libra.init_cache)
+        x = np.random.RandomState(seed).randn(B, H, S, d).astype(np.float32)
         a = np.abs(x).max(-1, keepdims=True)
         scale = np.where(a > 0, a, 1.0) / 127.0
         qv = np.clip(np.round(x / scale), -127, 127).astype(np.int8)
-        return (jnp.asarray(qv),
-                jnp.asarray(scale[..., 0].transpose(0, 2, 1)))  # (B, H, S)
+        return jnp.asarray(qv), jnp.asarray(scale[..., 0])      # (B, H, S)
 
     kq, ks = qbuf(1)
     vq, vs = qbuf(2)
@@ -195,7 +196,8 @@ def test_int8_decode_attention_matches_xla(use_bridge):
         interpret=True)
 
     def deq(qv, s):
-        return qv.astype(jnp.float32) * jnp.transpose(s, (0, 2, 1))[..., None]
+        # head-major -> sequence-major (B, S, H, d) for bridged_attention
+        return (qv.astype(jnp.float32) * s[..., None]).transpose(0, 2, 1, 3)
 
     want = bridged_attention(
         AttentionInputs(q, deq(kq, ks), deq(vq, vs),

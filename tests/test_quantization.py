@@ -114,15 +114,17 @@ def test_int8_kv_cache_roundtrip_bound():
     cfg = LibraConfig.tiny()
     cache = M.init_cache(cfg, batch=2, max_len=8, quantized=True)
     H = cfg.num_attention_heads
-    # scale layout is sequence-minor (B, H, S): a trailing size-1 dim
-    # would be tile-padded 128x on TPU (see init_cache docstring)
+    # int8 buffers are HEAD-MAJOR (L, B, H, S, d); scales sequence-minor
+    # (L, B, H, S) -- a trailing size-1 dim would be tile-padded 128x on
+    # TPU (see init_cache docstring)
+    assert cache.k.q.shape == (cfg.num_hidden_layers, 2, H, 8, cfg.head_dim)
     assert cache.k.scale.shape == (cfg.num_hidden_layers, 2, H, 8)
     new = np.random.RandomState(0).randn(
         2, 3, H, cfg.head_dim).astype(np.float32)
     buf = jax.jit(lambda b, n: _write_cache(b, jnp.asarray(n), 2))(
-        cache.k[0], new)    # layer-0 slice: q (B, S, H, d), scale (B, H, S)
-    scale = np.asarray(buf.scale).transpose(0, 2, 1)[..., None]  # (B,S,H,1)
-    got = (np.asarray(buf.q, np.float32) * scale)[:, 2:5]
+        cache.k[0], new)    # layer-0 slice: q (B, H, S, d), scale (B, H, S)
+    deq = np.asarray(buf.q, np.float32) * np.asarray(buf.scale)[..., None]
+    got = deq.transpose(0, 2, 1, 3)[:, 2:5]                  # (B, N, H, d)
     amax = np.abs(new).max(axis=-1, keepdims=True)
     assert (np.abs(got - new) <= amax / 254 + 1e-7).all()
 
@@ -190,3 +192,58 @@ def test_int8_kv_cache_tp_decode():
     got = Generator(params, cfg, mesh=mesh)(inputs, gen)
     np.testing.assert_array_equal(np.asarray(got.sequences),
                                   np.asarray(ref.sequences))
+
+
+def test_model_decode_kernel_wiring_matches_xla(monkeypatch):
+    """The model's fused decode-attention branch (default for quantized
+    caches; exercised here via the interpret-mode hook) matches the XLA
+    dequant path through a real cached decode step -- covers the
+    _attention<->kernel wiring (flag/bias slicing, head-major buffers)."""
+    from libra_tpu.ops.pallas import decode_attention as DA
+
+    cfg = LibraConfig.tiny(hidden_size=256, num_attention_heads=2,
+                           intermediate_size=256)
+    assert cfg.head_dim == 128
+    rng = np.random.RandomState(0)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    Q = cfg.vision_codebook_num
+    B, S, N = 2, 128, 6
+    ids = rng.randint(3, cfg.vocab_size, size=(Q, B, N)).astype(np.int64)
+    vi = np.full((B, N), cfg.max_vision_token_length, np.int64)
+    vi[0, 1:5] = np.arange(4)                       # an image block on row 0
+    ids[:, 0, 1:5] = cfg.vocab_size + rng.randint(
+        0, cfg.vision_vocab_size, size=(Q, 4))
+    ids_j, vi_j = jnp.asarray(ids), jnp.asarray(vi)
+
+    def run():
+        def f(params):
+            cache = M.init_cache(cfg, B, S, quantized=True)
+            mask_buf = jnp.zeros((B, S), jnp.int32).at[:, :N - 1].set(1)
+            pos = M.position_ids_from_mask(jnp.ones((B, N - 1), jnp.int32))
+            pre = M.forward(params, cfg, ids_j[:, :, :N - 1], mask_buf,
+                            vi_j[:, :N - 1], None, position_ids=pos,
+                            cache=cache)
+            mask_buf = mask_buf.at[:, N - 1].set(1)
+            step = M.forward(params, cfg, ids_j[:, :, N - 1:], mask_buf,
+                             vi_j[:, N - 1:], None,
+                             position_ids=jnp.full((B, 1), N - 1),
+                             cache=pre.cache)
+            return step.hidden_states
+        return np.asarray(jax.jit(f)(params))
+
+    want = run()                                     # CPU: XLA dequant path
+    monkeypatch.setattr(DA, "INTERPRET", True)       # force the kernel
+    got = run()
+    assert np.isfinite(got).all()
+    # kernel runs bf16 dots vs the XLA path's f32: small numeric slack
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+    # static gate sanity: applicable here, not for unaligned head_dim
+    cache = M.init_cache(cfg, B, S, quantized=True)
+    assert DA.decode_kernel_applicable(cfg, cache.k[0], 1)
+    assert not DA.decode_kernel_applicable(cfg, cache.k[0], 2)
+    tiny = LibraConfig.tiny()
+    tcache = M.init_cache(tiny, B, 128, quantized=True)
+    assert not DA.decode_kernel_applicable(tiny, tcache.k[0], 1)
+    bcache = M.init_cache(cfg, B, 100, quantized=True)
+    assert not DA.decode_kernel_applicable(cfg, bcache.k[0], 1)
