@@ -151,19 +151,22 @@ def _device_quantized_params(cfg):
     shipping ~9.4 GB of host weights through the TPU tunnel would take
     minutes; values are throughput-irrelevant.
 
-    One small compiled program PER LEAF (a single whole-tree init program
-    needs multi-GB integer temps live at once and crashes/OOMs the
-    compiler); uint8 random bits bitcast to int8, so the largest transient
-    is 2x the leaf itself."""
+    The tree STRUCTURE comes from jax.eval_shape of the real
+    quantize_params (so bottleneck padding, bridge bf16-skip and scale
+    layouts always match production). One small compiled program PER LEAF
+    (a single whole-tree init program needs multi-GB integer temps live at
+    once and crashes/OOMs the compiler); uint8 random bits bitcast to
+    int8, so the largest transient is 2x the leaf itself."""
     import functools
 
     import jax
     import jax.numpy as jnp
 
     from libra_tpu.models import libra as M
-    from libra_tpu.quantization import QuantizedArray, _leaf_axis
+    from libra_tpu.quantization import QuantizedArray, quantize_params
 
-    shapes = jax.eval_shape(lambda: M.init_params(jax.random.PRNGKey(0), cfg))
+    shapes = jax.eval_shape(lambda: quantize_params(
+        M.init_params(jax.random.PRNGKey(0), cfg)))
 
     @functools.lru_cache(maxsize=None)
     def q_init(shape):
@@ -177,20 +180,16 @@ def _device_quantized_params(cfg):
     key = jax.random.PRNGKey(0)
     counter = [0]
 
-    def build(path, s):
-        keys = [p.key if hasattr(p, "key") else str(p) for p in path]
-        name = keys[-1] if keys else ""
-        axis = _leaf_axis(name, s) if s.size >= (1 << 16) else None
-        if axis is None:
-            return full_init(s.shape, s.dtype, 0.02)()
-        counter[0] += 1
-        sshape = list(s.shape)
-        sshape[axis] = 1
-        q = q_init(s.shape)(jax.random.fold_in(key, counter[0]))
-        return QuantizedArray(
-            q, full_init(tuple(sshape), jnp.float32, 1.0 / 127)())
+    def build(s):
+        if isinstance(s, QuantizedArray):
+            counter[0] += 1
+            q = q_init(s.q.shape)(jax.random.fold_in(key, counter[0]))
+            return QuantizedArray(
+                q, full_init(s.scale.shape, jnp.float32, 1.0 / 127)())
+        return full_init(s.shape, s.dtype, 0.02)()
 
-    return jax.tree_util.tree_map_with_path(build, shapes)
+    return jax.tree_util.tree_map(
+        build, shapes, is_leaf=lambda x: isinstance(x, QuantizedArray))
 
 
 # Measured single-chip streaming bandwidth (bf16 matvec chain, overhead-
