@@ -173,10 +173,17 @@ def _generate_impl(params, input_ids, attention_mask, vision_indices,
     is_2d = cfg.vision_prediction_mode == "2d"
     Rb = max(cfg.image_feature_resolution - 1, 1)
     if is_2d:
-        hist = out.hidden_states[:, -Rb:]          # (B, Rb, D)
+        h = out.hidden_states
+        if h.shape[1] < Rb:
+            # sub-(R-1) prompts: left-pad the ring with zeros so its depth
+            # stays exactly R-1 (a shorter ring would silently read the
+            # wrong "up" neighbour; ADVICE r2 finding 3). Degenerate case:
+            # a real image block is always >= R-1 tokens.
+            h = jnp.pad(h, ((0, 0), (Rb - h.shape[1], 0), (0, 0)))
+        hist = h[:, -Rb:]                          # (B, Rb, D)
         # up for the LAST prompt position: h[N-1-(R-1)]
-        idx = max(out.hidden_states.shape[1] - 1 - Rb, 0)
-        h_up_last = out.hidden_states[:, idx]
+        idx = max(h.shape[1] - 1 - Rb, 0)
+        h_up_last = h[:, idx]
     else:
         hist = jnp.zeros((B, Rb, out.hidden_states.shape[-1]),
                          out.hidden_states.dtype)

@@ -125,7 +125,7 @@ def test_engine_prompt_bucketing(tiny):
     eng = ServingEngine(params, cfg, max_batch=2, max_len=64, gen=gen,
                         prompt_bucket=8)
     results = eng.run([r for r, _ in pairs])
-    assert all(k % 8 == 0 for k in eng._prefill_fns)
+    assert all(n % 8 == 0 for n, _ in eng._prefill_fns)
     lengths = {r.input_ids.shape[-1] for r, _ in pairs}
     assert len(eng._prefill_fns) < len(lengths)   # cache actually bounded
     _check_parity(results, pairs, params, cfg)
@@ -187,3 +187,101 @@ def test_engine_2d_rope(tiny):
     eng = ServingEngine(params, cfg2r, max_batch=2, max_len=64, gen=gen)
     results = eng.run([r for r, _ in pairs])
     _check_parity(results, pairs, params, cfg2r)
+
+
+def test_engine_pixels_request_matches_preencoded(tiny):
+    """Raw-pixels requests (fused CLIP+VQGAN encode inside the prefill
+    program) emit exactly the tokens of the same request pre-encoded on
+    the host (VERDICT r3 item 4 done-bar)."""
+    from libra_tpu.config import VQGANConfig
+    from libra_tpu.data.caption_format import IMG_PH
+    from libra_tpu.models import vqgan as vqgan_model
+    from libra_tpu.tokenization import (ImageTokenizer, LibraTokenizer,
+                                        SimpleTextTokenizer)
+
+    cfg, params = tiny
+    vq_cfg = VQGANConfig.tiny()
+    vq_params = vqgan_model.init_params(jax.random.PRNGKey(1), vq_cfg)
+    text_tok = SimpleTextTokenizer(vocab_size=cfg.vocab_size)
+    img_tok = ImageTokenizer(vq_cfg, vq_params, token_offset=cfg.vocab_size,
+                             max_vision_token_length=cfg.max_vision_token_length)
+    joint = LibraTokenizer(text_tok, img_tok)
+    Mv = cfg.max_vision_token_length
+
+    img = np.random.RandomState(0).randn(28, 28, 3).astype(np.float32)
+    prompt = " ".join([IMG_PH] * Mv) + " describe:"
+
+    # pre-encoded request (host-side tokenization)
+    pre = joint([{"language": [prompt], "vision": [img]}])
+    req_a = Request(request_id=0,
+                    input_ids=np.asarray(pre["input_ids"])[:, 0],
+                    vision_indices=np.asarray(pre["vision_indices"])[0],
+                    contiguous_signal=np.asarray(pre["coninous_signal"])[0],
+                    max_new_tokens=5)
+
+    # raw-pixels request (placeholder ids; encode runs in prefill)
+    t = text_tok([prompt])
+    ids = np.asarray(t["input_ids"], np.int64)
+    pos = int(np.nonzero(ids[0] == text_tok.img_ph_token_id)[0][0])
+    vi = np.full(ids.shape[-1], Mv, np.int64)
+    vi[pos:pos + Mv] = np.arange(Mv)
+    req_b = Request(request_id=0,
+                    input_ids=np.broadcast_to(
+                        ids, (cfg.vision_codebook_num, ids.shape[-1])),
+                    vision_indices=vi, max_new_tokens=5,
+                    pixels=img, img_start=pos)
+
+    gen = GenerationConfig(eos_token_id=-1)
+    eng_a = ServingEngine(params, cfg, max_batch=1, max_len=64, gen=gen)
+    eng_b = ServingEngine(params, cfg, max_batch=1, max_len=64, gen=gen,
+                          vq_params=vq_params, vq_cfg=vq_cfg)
+    res_a = eng_a.run([req_a])[0]
+    res_b = eng_b.run([req_b])[0]
+    np.testing.assert_array_equal(res_b.tokens, res_a.tokens)
+
+    # pixels without vq params is a clear error
+    with pytest.raises(ValueError):
+        eng_a.run([req_b])
+
+
+def test_engine_chunked_decode_and_ttft(tiny):
+    """Chunk boundaries (decode_chunk=3) preserve exact parity across
+    mid-chunk finishes and refills; every served request reports a TTFT."""
+    cfg, params = tiny
+    gen = GenerationConfig(eos_token_id=-1)
+    pairs = _requests(cfg, 6)                 # max_new 4..8: mid-chunk ends
+    eng = ServingEngine(params, cfg, max_batch=2, max_len=64, gen=gen,
+                        decode_chunk=3)
+    results = eng.run([r for r, _ in pairs])
+    assert len(results) == 6
+    assert all(r.ttft_s is not None and r.ttft_s >= 0 for r in results)
+    _check_parity(results, pairs, params, cfg)
+
+
+def test_engine_2d_short_prompt_ring(tiny):
+    """2D mode with a prompt shorter than R-1: the hidden ring is left-
+    padded with zeros instead of crashing/shrinking (ADVICE r2 finding 3),
+    and the engine still matches the Generator."""
+    cfg2d = LibraConfig.tiny(vision_prediction_mode="2d",
+                             image_feature_resolution=4,
+                             max_vision_token_length=18,
+                             vision_vocab_size=20)
+    params = M.init_params(jax.random.PRNGKey(3), cfg2d)
+    # 2-token text-only prompt < R-1 = 3
+    rng = np.random.RandomState(0)
+    ids = rng.randint(3, cfg2d.vocab_size,
+                      size=(cfg2d.vision_codebook_num, 2)).astype(np.int64)
+    vi = np.full((2,), cfg2d.max_vision_token_length, np.int64)
+    req = Request(request_id=0, input_ids=ids, vision_indices=vi,
+                  max_new_tokens=4)
+    gen = GenerationConfig(eos_token_id=-1)
+    eng = ServingEngine(params, cfg2d, max_batch=1, max_len=64, gen=gen)
+    res = eng.run([req])[0]
+    assert res.tokens.shape == (cfg2d.vision_codebook_num, 4)
+
+    want = Generator(params, cfg2d)(
+        {"input_ids": ids[:, None], "attention_mask": np.ones((1, 2)),
+         "vision_indices": vi[None]},
+        GenerationConfig(max_new_tokens=4, eos_token_id=-1))
+    np.testing.assert_array_equal(
+        res.tokens, np.asarray(want.sequences)[:, 0, 2:])
