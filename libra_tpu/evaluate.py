@@ -42,11 +42,58 @@ def generate_captions(pipeline, dataset, max_samples: int = 100,
     return preds
 
 
+def generate_vqa_answers(pipeline, dataset, max_samples: int = 100,
+                         max_new_tokens: int = 16,
+                         batch_size: int = 8) -> List[Dict[str, Any]]:
+    """Open-ended VQA over annotation rows carrying a "question" field
+    (LLaVA/VQAv2-format: each row has image, question, and the human
+    "answers" list). Questions drive the v1 chat template through the
+    pipeline exactly like the reference demo's VQA turns
+    (BASELINE config 4)."""
+    import os
+    from PIL import Image
+
+    preds = []
+    annotations = [a for a in dataset.annotation if "question" in a]
+    annotations = annotations[:max_samples]
+    for lo in range(0, len(annotations), batch_size):
+        anns = annotations[lo:lo + batch_size]
+        images = [Image.open(os.path.join(dataset.vis_root, a["image"]))
+                  .convert("RGB") for a in anns]
+        outs = pipeline.chat([a["question"] for a in anns], images=images,
+                             max_new_tokens=max_new_tokens)
+        for a, ans in zip(anns, outs):
+            preds.append({"question_id": a.get("question_id",
+                                               a.get("image_id", a["image"])),
+                          "answer": ans})
+    return preds
+
+
+def score_vqa(preds: List[Dict[str, Any]],
+              annotations: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """min(1, #matching-humans/3) accuracy (libra_tpu.metrics.vqa_accuracy)
+    against each row's "answers" list (or single "answer")."""
+    from libra_tpu.metrics import vqa_accuracy
+    answers = {}
+    for a in annotations:
+        if "question" not in a:
+            continue
+        key = str(a.get("question_id", a.get("image_id", a.get("image"))))
+        ans = a.get("answers", a.get("answer"))
+        if isinstance(ans, str):
+            ans = [ans]
+        if ans:
+            answers[key] = ans
+    cands = {str(p["question_id"]): p["answer"] for p in preds}
+    return {"vqa_accuracy": round(vqa_accuracy(cands, answers), 4),
+            "scored": len([q for q in cands if q in answers])}
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser("libra_tpu evaluation")
     parser.add_argument("--cfg-path", required=True)
     parser.add_argument("--options", nargs="*", default=None)
-    parser.add_argument("--mode", choices=["loss", "caption"],
+    parser.add_argument("--mode", choices=["loss", "caption", "vqa"],
                         default="loss")
     parser.add_argument("--max-samples", type=int, default=100)
     parser.add_argument("--output", default="predictions.json")
@@ -105,15 +152,22 @@ def main(argv=None):
             libra_cfg, params, tokenizer,
             image_processor=LibraEvalImageProcessor(
                 tokenizer.image_tokenizer.cfg.clip))
-        preds = generate_captions(pipe, eval_ds,
-                                  max_samples=args.max_samples)
-        Path(args.output).write_text(json.dumps(preds, indent=1))
-        result = {"predictions": len(preds), "output": args.output}
-        # score in-repo against the split's own reference captions
-        # (CIDEr-D / BLEU-4; the reference defers this to an external
-        # harness -- libra_tpu.metrics closes that gap)
-        from libra_tpu.metrics import score_captions
-        result.update(score_captions(preds, eval_ds.annotation))
+        if args.mode == "vqa":
+            preds = generate_vqa_answers(pipe, eval_ds,
+                                         max_samples=args.max_samples)
+            Path(args.output).write_text(json.dumps(preds, indent=1))
+            result = {"predictions": len(preds), "output": args.output}
+            result.update(score_vqa(preds, eval_ds.annotation))
+        else:
+            preds = generate_captions(pipe, eval_ds,
+                                      max_samples=args.max_samples)
+            Path(args.output).write_text(json.dumps(preds, indent=1))
+            result = {"predictions": len(preds), "output": args.output}
+            # score in-repo against the split's own reference captions
+            # (CIDEr-D / BLEU-4; the reference defers this to an external
+            # harness -- libra_tpu.metrics closes that gap)
+            from libra_tpu.metrics import score_captions
+            result.update(score_captions(preds, eval_ds.annotation))
         print(json.dumps(result))
 
 

@@ -84,3 +84,37 @@ def test_eval_caption_mode(coco_dir):
     preds = json.loads(out_path.read_text())
     assert len(preds) == 4
     assert all("caption" in p for p in preds)
+
+
+@pytest.fixture()
+def vqa_dir(tmp_path):
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    anns = []
+    for i in range(4):
+        name = f"img{i}.jpg"
+        Image.fromarray(rng.randint(0, 255, (32, 40, 3), np.uint8)).save(
+            img_dir / name)
+        anns.append({"image": name, "image_id": i, "question_id": i,
+                     "caption": f"caption {i}",
+                     "question": f"what is in image {i}?",
+                     "answers": ["a cat"] * 5 + ["a dog"] * 5})
+    (tmp_path / "ann.json").write_text(json.dumps(anns))
+    return tmp_path
+
+
+def test_eval_vqa_mode(vqa_dir):
+    """--mode vqa drives LLaVA-format questions through the pipeline and
+    scores with metrics.vqa_accuracy (VERDICT r3 item 8)."""
+    cfg_path = vqa_dir / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(_cfg(vqa_dir)))
+    out_path = vqa_dir / "vqa_preds.json"
+    proc = _run(cfg_path, "--mode", "vqa", "--max-samples", "3",
+                "--output", str(out_path))
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["scored"] == 3
+    assert 0.0 <= out["vqa_accuracy"] <= 1.0
+    preds = json.loads(out_path.read_text())
+    assert len(preds) == 3 and all("answer" in p for p in preds)
