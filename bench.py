@@ -270,11 +270,12 @@ def bench_decode_full_int8(B=4, text_len=32, max_new=64):
     return max_new * B / dt, dt, roofline
 
 
-def bench_vqa_fused_full32(B=2, text_len=32, max_new=64):
+def bench_vqa_fused_full32(B=4, text_len=32, max_new=64):
     """BASELINE configs 3-4 at REAL scale: the full 32-layer 11B flagship
     (int8 weights + int8 KV) answering batched single-image VQA prompts
     with CLIP+VQGAN encode fused into the prefill program (batched
-    continuous decode per BASELINE config 4). Returns
+    continuous decode per BASELINE config 4). B=4 is the BASELINE-config-4
+    batch (r2 ran B=2; the stage runner falls back if this OOMs). Returns
     (ttft_s, aggregate decode_tok_s)."""
     import jax
     import jax.numpy as jnp
@@ -384,14 +385,187 @@ def bench_train_step(num_layers=4, B=8, text_len=120):
     dt = (time.perf_counter() - t0) / iters
 
     tokens = B * N
-    # matmul-parameter count for the MFU convention (6 * P * T): every
-    # decoder matmul weight participates in fwd + bwd (frozen params still
-    # carry activation gradients); embeddings/gathers excluded
-    n_mat = sum(
-        l.size for p, l in jax.tree_util.tree_leaves_with_path(params)
-        if l.ndim >= 2 and "embed" not in str(p))
-    mfu = 6 * n_mat * tokens / dt / 197e12        # v5e bf16 peak
+    # MFU convention: trainable matmul params cost 6*P*T (fwd + activation
+    # grad + weight grad), FROZEN params 4*P*T (frozen_language skips the
+    # dL/dW matmul -- the r2 bench used 6x for everything, overstating
+    # utilization on the frozen fraction; VERDICT r3 item 6).
+    # Embeddings/gathers excluded.
+    from libra_tpu.training.optimizer import trainable_mask
+    tmask = trainable_mask(params, OptimizerConfig(frozen_language=True))
+    flops_per_tok = 0
+    for (p, l), (_, t) in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(tmask)):
+        if l.ndim >= 2 and "embed" not in str(p):
+            flops_per_tok += (6 if t else 4) * l.size
+    mfu = flops_per_tok * tokens / dt / 197e12    # v5e bf16 peak
     return tokens / dt, mfu
+
+
+def bench_serving(B=4, n_requests=24, max_new=64, decode_chunk=16):
+    """ServingEngine under a mixed-length request stream at full scale
+    (VERDICT r3 item 3): full-32 int8 weights + int8 KV, max_batch 4,
+    prompts 594-618 tokens (one 578-token image + text) in one 640 bucket,
+    chunked decode dispatch. Reports aggregate generated tokens/s and the
+    p50/p95 TTFT across the stream (queue wait included -- the continuous-
+    batching number, BASELINE's north-star shape)."""
+    import jax
+
+    from libra_tpu.generation import GenerationConfig
+    from libra_tpu.serving import Request, ServingEngine
+    from __graft_entry__ import _example_batch, _flagship_cfg
+
+    cfg = _flagship_cfg(32)
+    params = _device_quantized_params(cfg)
+    gen = GenerationConfig(eos_token_id=-1, kv_quant=True)
+    eng = ServingEngine(params, cfg, max_batch=B, max_len=768, gen=gen,
+                        prompt_bucket=640, decode_chunk=decode_chunk)
+
+    def make_reqs(n):
+        reqs = []
+        for i in range(n):
+            tl = 16 + (i % 4) * 8         # mixed prompt lengths, one bucket
+            ids, _, vi, sig = _example_batch(cfg, B=1, text_len=tl, seed=i)
+            reqs.append(Request(
+                request_id=i, input_ids=np.asarray(ids[:, 0]),
+                vision_indices=np.asarray(vi[0]),
+                contiguous_signal=np.asarray(sig[0]),
+                max_new_tokens=max_new))
+        return reqs
+
+    eng.run(make_reqs(B))                 # compile prefill + decode chunk
+    reqs = make_reqs(n_requests)
+    t0 = time.perf_counter()
+    results = eng.run(reqs)
+    dt = time.perf_counter() - t0
+    total = sum(r.tokens.shape[-1] for r in results)
+    ttfts = sorted(r.ttft_s for r in results if r.ttft_s is not None)
+    return {
+        "serving_tok_s": round(total / dt, 2),
+        "serving_p50_ttft_ms": round(1000 * ttfts[len(ttfts) // 2], 1),
+        "serving_p95_ttft_ms": round(
+            1000 * ttfts[min(len(ttfts) - 1, int(len(ttfts) * 0.95))], 1),
+        "serving_requests": len(results),
+        "serving_wall_s": round(dt, 2),
+    }
+
+
+def bench_train_compile(num_layers=32, B=8, A=4, text_len=122):
+    """PROOF-ONLY stage (VERDICT r3 item 6): AOT-compile the full-width
+    32-layer rematerialised accumulation step (8-micro x 4-accum, seq 700,
+    frozen_language, bf16 params -- the reference pretrain micro shape,
+    libra_pretrain.yaml:95-96) on the single chip and report the
+    compiler's memory analysis. No arrays are materialised (eval_shape
+    params; .lower on abstract inputs), so this runs even where the
+    buffers would not fit -- the printed peak-HBM number IS the evidence
+    for (or against) the README's fit claim."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from libra_tpu.models import libra as M
+    from libra_tpu.training.optimizer import OptimizerConfig, make_optimizer
+    from libra_tpu.training.trainer import accum_train_step, init_state
+    from __graft_entry__ import _flagship_cfg
+
+    cfg = _flagship_cfg(num_layers)
+    Q, Mv = cfg.vision_codebook_num, cfg.max_vision_token_length
+    N = text_len + Mv                     # 700: the pretrain seq budget
+    pshapes = jax.eval_shape(lambda: M.init_params(jax.random.PRNGKey(0),
+                                                   cfg))
+    opt = make_optimizer(OptimizerConfig(frozen_language=True,
+                                         total_steps=1000), pshapes)
+    state = jax.eval_shape(functools.partial(init_state, opt=opt), pshapes)
+    s = jax.ShapeDtypeStruct
+    batch = {
+        "input_ids": s((A, Q, B, N), jnp.int32),
+        "attention_mask": s((A, B, N), jnp.int32),
+        "vision_indices": s((A, B, N), jnp.int32),
+        "coninous_signal": s((A, B, N, cfg.contiguous_signal_size),
+                             jnp.float32),
+        "labels": s((A, Q, B, N), jnp.int32),
+    }
+    step = functools.partial(accum_train_step, cfg=cfg, opt=opt)
+    t0 = time.perf_counter()
+    compiled = jax.jit(step, donate_argnums=(0,)).lower(state, batch) \
+        .compile()
+    dt = time.perf_counter() - t0
+    ma = compiled.memory_analysis()
+    args = getattr(ma, "argument_size_in_bytes", 0)
+    temp = getattr(ma, "temp_size_in_bytes", 0)
+    outs = getattr(ma, "output_size_in_bytes", 0)
+    alias = getattr(ma, "alias_size_in_bytes", 0)
+    return {
+        "train_full32_compile_s": round(dt, 1),
+        "train_full32_args_gb": round(args / 1e9, 2),
+        "train_full32_temp_gb": round(temp / 1e9, 2),
+        "train_full32_out_gb": round(outs / 1e9, 2),
+        # live peak: args + temps + outputs minus donated aliasing
+        "train_full32_peak_hbm_gb": round(
+            (args + temp + outs - alias) / 1e9, 2),
+    }
+
+
+def bench_kernels():
+    """Isolated weight-streaming kernel numbers on one (4096, 11008)
+    decode-shaped matvec: fused Pallas int8, XLA int8-dequant, bf16, and
+    the packed int4 kernel (VERDICT r3 item 10: int4 is memory-halving
+    only -- its VPU unpack holds it at XLA-int8 speed; these numbers
+    document that measured, not claimed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from libra_tpu.ops.pallas.int4_matmul import int4_matmul, pack_int4
+    from libra_tpu.ops.pallas.int8_matmul import int8_matmul
+
+    K, F = 4096, 11008
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(K, F).astype(np.float32) * 0.02)
+    x = jnp.asarray(rng.randn(4, K).astype(np.float32)).astype(jnp.bfloat16)
+    q8 = jnp.asarray(rng.randint(-127, 128, (K, F)).astype(np.int8))
+    s8 = jnp.full((1, F), 1 / 127, jnp.float32)
+    p4, s4 = pack_int4(w)
+    wb = w.astype(jnp.bfloat16)
+
+    # single compiled program looping the op N times with a dummy data
+    # dependence; two-point differencing cancels dispatch overhead
+    def timed(fn, *args):
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=0)
+        def loop(n, x, *rest):
+            def body(c, _):
+                out = fn(c, *rest)
+                # dummy data dependence keeps every iteration live
+                return c + 0 * out[:, :1].astype(c.dtype), None
+            c, _ = jax.lax.scan(body, x, None, length=n)
+            return c
+
+        def run(n):
+            t0 = time.perf_counter()
+            _sync(loop(n, x, *args))
+            return time.perf_counter() - t0
+
+        run(4)                             # compile both trip counts
+        run(20)
+        return (run(20) - run(4)) / 16
+
+    t_int8 = timed(lambda x, q, s: int8_matmul(x, q, s), q8, s8)
+    t_xla8 = timed(
+        lambda x, q, s: jnp.einsum("mk,kf->mf", x,
+                                   (q * s).astype(jnp.bfloat16)), q8, s8)
+    t_bf16 = timed(lambda x, w: jnp.einsum("mk,kf->mf", x, w), wb)
+    t_int4 = timed(lambda x, p, s: int4_matmul(x, p, s), p4, s4)
+    nbytes = K * F
+    return {
+        "matvec_int8_pallas_ms": round(t_int8 * 1e3, 3),
+        "matvec_int8_pallas_gb_s": round(nbytes / t_int8 / 1e9, 1),
+        "matvec_int8_xla_ms": round(t_xla8 * 1e3, 3),
+        "matvec_bf16_ms": round(t_bf16 * 1e3, 3),
+        "matvec_int4_ms": round(t_int4 * 1e3, 3),
+        "matvec_int4_gb_s": round(nbytes / 2 / t_int4 / 1e9, 1),
+    }
 
 
 def _stage(name, t0):
@@ -412,15 +586,31 @@ _STAGES = {
         "decode_full32_tok_s": round(r[0], 2),
         "decode_full32_wall_s": round(r[1], 3), **r[2]})(
             bench_decode_full_int8()), 1500),
-    "vqa_full32": (lambda: dict(zip(
-        ("vqa_full32_ttft_ms", "vqa_full32_tok_s"),
-        (lambda r: (round(r[0] * 1000, 1), round(r[1], 2)))(
-            bench_vqa_fused_full32()))), 1800),
+    "vqa_full32": (lambda: _vqa_stage(), 2400),
+    "serving": (lambda: bench_serving(), 2400),
     "train_step": (lambda: dict(zip(
         ("train_step_tok_s", "train_mfu"),
         (lambda r: (round(r[0], 1), round(r[1], 4)))(
             bench_train_step()))), 900),
+    "train_compile": (lambda: bench_train_compile(), 1800),
+    "kernels": (lambda: bench_kernels(), 900),
 }
+
+
+def _vqa_stage():
+    """B=4 first (the BASELINE-config-4 batch); fall back to B=2 on OOM
+    and record which batch ran."""
+    for b in (4, 2):
+        try:
+            ttft, tok_s = bench_vqa_fused_full32(B=b)
+            return {"vqa_full32_ttft_ms": round(ttft * 1000, 1),
+                    "vqa_full32_tok_s": round(tok_s, 2),
+                    "vqa_full32_batch": b}
+        except Exception as e:  # noqa: BLE001
+            err = repr(e)[:160]
+            if "RESOURCE_EXHAUSTED" not in err and "memory" not in err.lower():
+                raise
+    return {"vqa_full32_error": "OOM at B=4 and B=2: " + err}
 
 
 def _run_stage(name):
