@@ -519,44 +519,53 @@ def bench_kernels():
     from libra_tpu.ops.pallas.int4_matmul import int4_matmul, pack_int4
     from libra_tpu.ops.pallas.int8_matmul import int8_matmul
 
-    K, F = 4096, 11008
+    K, F, L = 4096, 11008, 8
     rng = np.random.RandomState(0)
-    w = jnp.asarray(rng.randn(K, F).astype(np.float32) * 0.02)
     x = jnp.asarray(rng.randn(4, K).astype(np.float32)).astype(jnp.bfloat16)
-    q8 = jnp.asarray(rng.randint(-127, 128, (K, F)).astype(np.int8))
-    s8 = jnp.full((1, F), 1 / 127, jnp.float32)
-    p4, s4 = pack_int4(w)
-    wb = w.astype(jnp.bfloat16)
+    # STACKED (L, K, F) weights with a rotating layer index per iteration
+    # -- the real decode access pattern. A single 90 MB weight reused
+    # across scan iterations gets hoisted into VMEM by XLA and "measures"
+    # an impossible 1.9 TB/s; rotating through 8 layers defeats that.
+    q8 = jnp.asarray(rng.randint(-127, 128, (L, K, F)).astype(np.int8))
+    s8 = jnp.full((L, 1, F), 1 / 127, jnp.float32)
+    wb = (q8.astype(jnp.bfloat16) / 127)
+    w1 = np.asarray(wb[0], np.float32)
+    p4, s4 = pack_int4(w1)                 # int4 kernel: 2D form only
 
-    # single compiled program looping the op N times with a dummy data
-    # dependence; two-point differencing cancels dispatch overhead
+    # single compiled program looping the op N times; two-point
+    # differencing cancels dispatch overhead and compile/hoist constants
     def timed(fn, *args):
         import functools
 
         @functools.partial(jax.jit, static_argnums=0)
         def loop(n, x, *rest):
-            def body(c, _):
-                out = fn(c, *rest)
-                # dummy data dependence keeps every iteration live
-                return c + 0 * out[:, :1].astype(c.dtype), None
-            c, _ = jax.lax.scan(body, x, None, length=n)
+            def body(c, i):
+                out = fn(c, i % L, *rest)
+                # epsilon-weighted dependence: a 0-coefficient version
+                # was constant-folded and the matmuls DCE'd
+                return c + 1e-30 * out[:, :c.shape[-1]].astype(c.dtype), None
+            c, _ = jax.lax.scan(body, x, jnp.arange(n, dtype=jnp.int32))
             return c
 
         def run(n):
-            t0 = time.perf_counter()
-            _sync(loop(n, x, *args))
-            return time.perf_counter() - t0
+            best = None
+            for _ in range(3):             # tunnel jitter ~ tens of ms
+                t0 = time.perf_counter()
+                _sync(loop(n, x, *args))
+                d = time.perf_counter() - t0
+                best = d if best is None else min(best, d)
+            return best
 
-        run(4)                             # compile both trip counts
-        run(20)
-        return (run(20) - run(4)) / 16
+        n1, n2 = 48, 448                   # >> dispatch noise at ~0.1 ms/it
+        run(n1), run(n2)                   # compile both trip counts
+        return (run(n2) - run(n1)) / (n2 - n1)
 
-    t_int8 = timed(lambda x, q, s: int8_matmul(x, q, s), q8, s8)
+    t_int8 = timed(lambda x, i, q, s: int8_matmul(x, q, s, idx=i), q8, s8)
     t_xla8 = timed(
-        lambda x, q, s: jnp.einsum("mk,kf->mf", x,
-                                   (q * s).astype(jnp.bfloat16)), q8, s8)
-    t_bf16 = timed(lambda x, w: jnp.einsum("mk,kf->mf", x, w), wb)
-    t_int4 = timed(lambda x, p, s: int4_matmul(x, p, s), p4, s4)
+        lambda x, i, q, s: jnp.einsum(
+            "mk,kf->mf", x, (q[i] * s[i]).astype(jnp.bfloat16)), q8, s8)
+    t_bf16 = timed(lambda x, i, w: jnp.einsum("mk,kf->mf", x, w[i]), wb)
+    t_int4 = timed(lambda x, i, p, s: int4_matmul(x, p, s), p4, s4)
     nbytes = K * F
     return {
         "matvec_int8_pallas_ms": round(t_int8 * 1e3, 3),

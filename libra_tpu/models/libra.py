@@ -220,12 +220,19 @@ def _write_seq(buf: jax.Array, new: jax.Array, index) -> jax.Array:
         buf, new, (0, index) + (0,) * (buf.ndim - 2))
 
 
-def _write_cache(buf, new: jax.Array, index):
-    """buf: sequence-major (B, S, H, d) array or HEAD-MAJOR QuantizedArray
-    (q (B, H, S, d), scale (B, H, S)); new: (B, N, H, d); write at sequence
-    offset `index` (per-row when index is a (B,) vector)."""
+def _write_cache(buf, new: jax.Array, layer_idx, index):
+    """Write one layer's new K/V into the FULL STACKED cache buffer,
+    in place (the cache is a layer-scan CARRY: dynamic_update_slice on a
+    carry aliases; the r2 scan-xs/ys threading re-materialised the whole
+    4x400 MB cache every decode step).
+
+    buf: sequence-major (L, B, S, H, d) array or HEAD-MAJOR QuantizedArray
+    (q (L, B, H, S, d), scale (L, B, H, S)); new: (B, N, H, d); write at
+    layer `layer_idx`, sequence offset `index` (per-row when index is a
+    (B,) vector)."""
     from libra_tpu.quantization import QuantizedArray
 
+    li = jnp.asarray(layer_idx, jnp.int32)
     if isinstance(buf, QuantizedArray):
         a = jnp.max(jnp.abs(new.astype(jnp.float32)), axis=-1, keepdims=True)
         scale = jnp.where(a > 0, a, 1.0) / 127.0
@@ -233,22 +240,31 @@ def _write_cache(buf, new: jax.Array, index):
                      -127, 127).astype(jnp.int8)
         q_hm = q.transpose(0, 2, 1, 3)                       # (B, H, N, d)
         scale_hn = scale[..., 0].transpose(0, 2, 1)          # (B, H, N)
+        scale_hn = scale_hn.astype(buf.scale.dtype)
         if getattr(index, "ndim", 0) == 1:
-            def rowq(b, n, i):   # b: (H, S, d), n: (H, N, d)
-                return jax.lax.dynamic_update_slice(b, n, (0, i, 0))
+            def rowq(b, n, i):   # b: (L, H, S, d), n: (H, N, d)
+                return jax.lax.dynamic_update_slice(b, n[None], (li, 0, i, 0))
 
-            def rows(b, n, i):   # b: (H, S), n: (H, N)
-                return jax.lax.dynamic_update_slice(b, n, (0, i))
-            new_q = jax.vmap(rowq)(buf.q, q_hm, index)
-            new_scale = jax.vmap(rows)(buf.scale,
-                                       scale_hn.astype(buf.scale.dtype), index)
+            def rows(b, n, i):   # b: (L, H, S), n: (H, N)
+                return jax.lax.dynamic_update_slice(b, n[None], (li, 0, i))
+            new_q = jax.vmap(rowq, in_axes=(1, 0, 0), out_axes=1)(
+                buf.q, q_hm, index)
+            new_scale = jax.vmap(rows, in_axes=(1, 0, 0), out_axes=1)(
+                buf.scale, scale_hn, index)
         else:
             new_q = jax.lax.dynamic_update_slice(
-                buf.q, q_hm, (0, 0, index, 0))
+                buf.q, q_hm[None], (li, 0, 0, index, 0))
             new_scale = jax.lax.dynamic_update_slice(
-                buf.scale, scale_hn.astype(buf.scale.dtype), (0, 0, index))
+                buf.scale, scale_hn[None], (li, 0, 0, index))
         return QuantizedArray(new_q, new_scale)
-    return _write_seq(buf, new, index)
+
+    new = new.astype(buf.dtype)
+    if getattr(index, "ndim", 0) == 1:
+        def row(b, n, i):        # b: (L, S, H, d), n: (N, H, d)
+            return jax.lax.dynamic_update_slice(b, n[None], (li, i, 0, 0))
+        return jax.vmap(row, in_axes=(1, 0, 0), out_axes=1)(buf, new, index)
+    return jax.lax.dynamic_update_slice(
+        buf, new[None], (li, 0, index, 0, 0))
 
 
 # ---------------------------------------------------------------------------
@@ -373,8 +389,9 @@ def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
                dropout_rng: Optional[jax.Array] = None) -> Tuple[jax.Array, Any]:
     """Routed attention with bridge. h is the (routed-)normed input.
 
-    cache_slice: None (no cache) or per-layer dict of (B, S, H, d) buffers
-    plus the write index. Returns (attn_out (B,N,D), new_cache_slice).
+    cache_slice: None (no cache) or {"bufs": dict of FULL STACKED cache
+    buffers (the layer-scan carry), "layer": this layer's index, "index":
+    the sequence write offset}. Returns (attn_out (B,N,D), updated bufs).
     """
     H = cfg.num_attention_heads
     am = cfg.addition_mode
@@ -412,41 +429,49 @@ def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
     if cache_slice is not None:
         from libra_tpu.quantization import QuantizedArray
         cd = q.dtype
+        li = cache_slice["layer"]
+        idx = cache_slice["index"]
 
         def rd(buf):
-            # Dequantize the int8 cache for the attention dots and FORCE
-            # materialisation (optimization_barrier): letting XLA fuse the
-            # dequant into the dots turns them into VPU multiply-reduce
-            # fusions off the MXU -- profiled at ~26 ms/step on the
-            # full-32-layer decode, vs ~4 ms for materialise-then-MXU-dot.
-            # (Score-folded int8 consumption was also tried: slower still,
-            # and crashed the compiler at 32 layers.) This path now only
-            # serves prefill and non-TPU/fallback decode; TPU decode reads
-            # the raw head-major int8 buffers through the fused kernel.
+            # XLA fallback (prefill, CPU, TP mesh): slice this layer out of
+            # the stacked carry, dequantize for the attention dots and
+            # FORCE materialisation (optimization_barrier): letting XLA
+            # fuse the dequant into the dots turns them into VPU
+            # multiply-reduce fusions off the MXU -- profiled at
+            # ~26 ms/step on the full-32-layer decode, vs ~4 ms for
+            # materialise-then-MXU-dot. (Score-folded int8 consumption was
+            # also tried: slower still, and crashed the compiler at 32
+            # layers.) TPU decode never runs this: the fused kernel reads
+            # the raw stacked head-major int8 buffers directly.
             if isinstance(buf, QuantizedArray):
+                qs = jax.lax.dynamic_index_in_dim(buf.q, li, 0,
+                                                  keepdims=False)
+                ss = jax.lax.dynamic_index_in_dim(buf.scale, li, 0,
+                                                  keepdims=False)
                 # head-major (B, H, S, d) -> sequence-major (B, S, H, d)
-                deq = buf.q.astype(cd) * buf.scale.astype(cd)[..., None]
+                deq = qs.astype(cd) * ss.astype(cd)[..., None]
                 return jax.lax.optimization_barrier(deq).transpose(0, 2, 1, 3)
-            return buf
+            return jax.lax.dynamic_index_in_dim(buf, li, 0, keepdims=False)
 
-        idx = cache_slice["index"]
-        ck = _write_cache(cache_slice["k"], k, idx)
-        cv = _write_cache(cache_slice["v"], v, idx)
+        bufs = cache_slice["bufs"]
+        ck = _write_cache(bufs["k"], k, li, idx)
+        cv = _write_cache(bufs["v"], v, li, idx)
         new_cache = {"k": ck, "v": cv}
         ckb = cvb = None
         if cfg.use_bridge:
-            ckb = _write_cache(cache_slice["kb"], kb, idx)
-            cvb = _write_cache(cache_slice["vb"], vb, idx)
+            ckb = _write_cache(bufs["kb"], kb, li, idx)
+            cvb = _write_cache(bufs["vb"], vb, li, idx)
             new_cache.update({"kb": ckb, "vb": cvb})
 
         from libra_tpu.ops.pallas import decode_attention as DA
         if (rng_attn is None and DA.decode_kernel_active()
                 and DA.decode_kernel_applicable(cfg, ck, q.shape[1])):
             # DEFAULT decode path for quantized caches on TPU: fused
-            # attention reading the raw head-major int8 buffers once --
-            # removes the dequant-materialise triple pass over the cache
-            # (the r2 headline bottleneck, VERDICT r3 item 1). Off under a
-            # TP mesh (pallas_call is opaque to GSPMD -- kernel_active)
+            # attention reading the raw stacked head-major int8 buffers
+            # once, layer selected via scalar prefetch -- no cache slices,
+            # no dequant-materialise triple pass (the r2 headline
+            # bottleneck, VERDICT r3 item 1). Off under a TP mesh
+            # (pallas_call is opaque to GSPMD -- decode_kernel_active)
             # and via LIBRA_DECODE_ATTN_KERNEL=0 (captured at import).
             decode_kernel_out = DA.int8_decode_attention(
                 q, ck.q, ck.scale, cv.q, cv.scale,
@@ -455,7 +480,7 @@ def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
                 vbq=None if cvb is None else cvb.q,
                 vbs=None if cvb is None else cvb.scale,
                 flag_q=flag[:, 0], kv_flag=kv_flag,
-                bias=bias[:, 0, 0], interpret=DA.INTERPRET)
+                bias=bias[:, 0, 0], layer_idx=li, interpret=DA.INTERPRET)
         else:
             k, v = rd(ck), rd(cv)
             if cfg.use_bridge:
@@ -614,20 +639,27 @@ def forward(params: Params, cfg: LibraConfig, input_ids: jax.Array,
         return jax.tree_util.tree_map(
             pick, layers, is_leaf=lambda x: isinstance(x, QuantizedArray))
 
-    def body(carry_h, xs):
+    def body(carry, xs):
         rng = None
         if layer_rngs is not None:
             xs, rng = xs
+        idx = xs
         if cache is None:
-            idx = xs
-            cache_slice = None
+            carry_h, cache_slice, bufs = carry, None, None
         else:
-            idx, c = xs
-            cache_slice = dict(c, index=cache.index)
-        new_h, new_c = decoder_layer(take_layer(idx), cfg, carry_h, flag,
-                                     cos, sin, position_ids, bias, kv_flag,
-                                     cache_slice, attn_impl, dropout_rng=rng)
-        return new_h, new_c
+            # the cache rides the scan CARRY and each layer updates it in
+            # place at its own index -- scan-xs/ys threading (r2) made XLA
+            # re-materialise the full stacked buffers every decode step
+            # (4x400 MB copies, ~5 ms/step profiled)
+            carry_h, bufs = carry
+            cache_slice = {"bufs": bufs, "layer": idx, "index": cache.index}
+        new_h, new_bufs = decoder_layer(take_layer(idx), cfg, carry_h, flag,
+                                        cos, sin, position_ids, bias, kv_flag,
+                                        cache_slice, attn_impl,
+                                        dropout_rng=rng)
+        if cache is None:
+            return new_h, None
+        return (new_h, dict(bufs, **new_bufs)), None
 
     if remat:
         body = jax.checkpoint(body)
@@ -640,13 +672,13 @@ def forward(params: Params, cfg: LibraConfig, input_ids: jax.Array,
         h, _ = jax.lax.scan(body, h, scan_xs(idxs))
         new_cache = None
     else:
-        per_layer = {"k": cache.k, "v": cache.v}
+        bufs0 = {"k": cache.k, "v": cache.v}
         if cfg.use_bridge:
-            per_layer.update({"kb": cache.kb, "vb": cache.vb})
-        h, outs = jax.lax.scan(body, h, scan_xs((idxs, per_layer)))
+            bufs0.update({"kb": cache.kb, "vb": cache.vb})
+        (h, bufs), _ = jax.lax.scan(body, (h, bufs0), scan_xs(idxs))
         new_cache = KVCache(
-            k=outs["k"], v=outs["v"],
-            kb=outs.get("kb"), vb=outs.get("vb"),
+            k=bufs["k"], v=bufs["v"],
+            kb=bufs.get("kb"), vb=bufs.get("vb"),
             flag=kv_flag, index=cache.index + N)
 
     eps = cfg.rms_norm_eps

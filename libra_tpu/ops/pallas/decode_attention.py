@@ -117,17 +117,40 @@ def _kernel_plain(q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
         o_ref[h] = _weighted_v(a, vq_ref, vs_ref, h).astype(o_ref.dtype)
 
 
+def _kernel_bridge_stacked(idx_ref, *refs, inv_sqrt_d):
+    del idx_ref              # consumed by the index_maps (layer selection)
+    _kernel_bridge(*refs, inv_sqrt_d=inv_sqrt_d)
+
+
+def _kernel_plain_stacked(idx_ref, *refs, inv_sqrt_d):
+    del idx_ref
+    _kernel_plain(*refs, inv_sqrt_d=inv_sqrt_d)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def int8_decode_attention(q, kq, ks, vq, vs, kbq=None, kbs=None,
                           vbq=None, vbs=None, flag_q=None, kv_flag=None,
-                          bias=None, interpret: bool = False):
+                          bias=None, layer_idx=None,
+                          interpret: bool = False):
     """q (B, 1, H, d) bf16; kq/vq HEAD-MAJOR (B, H, S, d) int8 with
     (B, H, S) fp32 scales; optional bridge tensors; flag_q (B,) /
     kv_flag (B, S) bool; bias (B, S) additive fp32. Returns (B, 1, H, d)
-    in q.dtype."""
+    in q.dtype.
+
+    With `layer_idx`, kq/vq (and bridges) are the FULL STACKED cache
+    (L, B, H, S, d) with (L, B, H, S) scales: the layer index rides
+    scalar prefetch and the index_maps DMA only that layer's tiles
+    straight out of the stacked HBM buffers. This is the decode layer-scan
+    path -- the cache stays a scan CARRY updated in place, and slicing a
+    layer first would either copy 4x12.6 MB per layer per step (XLA
+    dynamic-slice materialises) or, worse, force the r2 design's
+    scan-xs/ys cache threading whose carry re-materialisation copied the
+    FULL 4x400 MB cache every decode step (profiled ~5 ms/step)."""
+    stacked = layer_idx is not None
     B, N, H, d = q.shape
-    S = kq.shape[2]
-    assert N == 1 and S % 128 == 0 and kq.shape == (B, H, S, d), \
+    S = kq.shape[-2]
+    kv_shape = (B, H, S, d) if not stacked else kq.shape[:1] + (B, H, S, d)
+    assert N == 1 and S % 128 == 0 and kq.shape == kv_shape, \
         (q.shape, kq.shape)
     use_bridge = kbq is not None
     hb = _head_block(H, S, d, 4 if use_bridge else 2)
@@ -135,50 +158,67 @@ def int8_decode_attention(q, kq, ks, vq, vs, kbq=None, kbs=None,
     bias = bias.astype(jnp.float32).reshape(B, 1, S)
     grid = (B, H // hb)
 
-    q_spec = pl.BlockSpec((None, hb, 1, d), lambda b, h: (b, h, 0, 0))
-    kv_spec = pl.BlockSpec((None, hb, S, d), lambda b, h: (b, h, 0, 0))
-    s_spec = pl.BlockSpec((None, hb, 1, S), lambda b, h: (b, h, 0, 0))
-    row_spec = pl.BlockSpec((None, 1, S), lambda b, h: (b, 0, 0))
-    fq_spec = pl.BlockSpec((None, 1, 1), lambda b, h: (b, 0, 0))
-    out_spec = pl.BlockSpec((None, hb, 1, d), lambda b, h: (b, h, 0, 0))
+    if stacked:
+        q_spec = pl.BlockSpec((None, hb, 1, d), lambda b, h, iref: (b, h, 0, 0))
+        kv_spec = pl.BlockSpec((None, None, hb, S, d),
+                               lambda b, h, iref: (iref[0], b, h, 0, 0))
+        s_spec = pl.BlockSpec((None, None, hb, 1, S),
+                              lambda b, h, iref: (iref[0], b, h, 0, 0))
+        row_spec = pl.BlockSpec((None, 1, S), lambda b, h, iref: (b, 0, 0))
+        fq_spec = pl.BlockSpec((None, 1, 1), lambda b, h, iref: (b, 0, 0))
+        out_spec = pl.BlockSpec((None, hb, 1, d),
+                                lambda b, h, iref: (b, h, 0, 0))
+    else:
+        q_spec = pl.BlockSpec((None, hb, 1, d), lambda b, h: (b, h, 0, 0))
+        kv_spec = pl.BlockSpec((None, hb, S, d), lambda b, h: (b, h, 0, 0))
+        s_spec = pl.BlockSpec((None, hb, 1, S), lambda b, h: (b, h, 0, 0))
+        row_spec = pl.BlockSpec((None, 1, S), lambda b, h: (b, 0, 0))
+        fq_spec = pl.BlockSpec((None, 1, 1), lambda b, h: (b, 0, 0))
+        out_spec = pl.BlockSpec((None, hb, 1, d), lambda b, h: (b, h, 0, 0))
     out_shape = jax.ShapeDtypeStruct((B, H, 1, d), q.dtype)
 
     def sc(s):
-        return s.astype(jnp.float32).reshape(B, H, 1, S)
+        lead = s.shape[:-3]
+        return s.astype(jnp.float32).reshape(lead + (B, H, 1, S))
 
     if use_bridge:
         fq = flag_q.astype(jnp.int32).reshape(B, 1, 1)
         fkv = kv_flag.astype(jnp.int32).reshape(B, 1, S)
-        out = pl.pallas_call(
-            functools.partial(_kernel_bridge, inv_sqrt_d=1.0 / d ** 0.5),
-            grid=grid,
-            in_specs=[q_spec, kv_spec, s_spec, kv_spec, s_spec,
-                      kv_spec, s_spec, kv_spec, s_spec,
-                      fq_spec, row_spec, row_spec],
-            out_specs=out_spec,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(qh.astype(jnp.bfloat16), kq, sc(ks), vq, sc(vs),
-          kbq, sc(kbs), vbq, sc(vbs), fq, fkv, bias)
+        kern = _kernel_bridge_stacked if stacked else _kernel_bridge
+        in_specs = [q_spec, kv_spec, s_spec, kv_spec, s_spec,
+                    kv_spec, s_spec, kv_spec, s_spec,
+                    fq_spec, row_spec, row_spec]
+        args = (qh.astype(jnp.bfloat16), kq, sc(ks), vq, sc(vs),
+                kbq, sc(kbs), vbq, sc(vbs), fq, fkv, bias)
     else:
-        out = pl.pallas_call(
-            functools.partial(_kernel_plain, inv_sqrt_d=1.0 / d ** 0.5),
-            grid=grid,
-            in_specs=[q_spec, kv_spec, s_spec, kv_spec, s_spec, row_spec],
-            out_specs=out_spec,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(qh.astype(jnp.bfloat16), kq, sc(ks), vq, sc(vs), bias)
+        kern = _kernel_plain_stacked if stacked else _kernel_plain
+        in_specs = [q_spec, kv_spec, s_spec, kv_spec, s_spec, row_spec]
+        args = (qh.astype(jnp.bfloat16), kq, sc(ks), vq, sc(vs), bias)
+
+    kern = functools.partial(kern, inv_sqrt_d=1.0 / d ** 0.5)
+    if stacked:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=in_specs, out_specs=out_spec)
+        out = pl.pallas_call(kern, grid_spec=grid_spec, out_shape=out_shape,
+                             interpret=interpret)(
+            jnp.asarray(layer_idx, jnp.int32).reshape(1), *args)
+    else:
+        out = pl.pallas_call(kern, grid=grid, in_specs=in_specs,
+                             out_specs=out_spec, out_shape=out_shape,
+                             interpret=interpret)(*args)
     return out.reshape(B, 1, H, d)
 
 
 def decode_kernel_applicable(cfg, cache_k, q_len: int) -> bool:
     """Static gate: the fused kernel handles this decode step's shapes.
-    (Backend/TP gating is the caller's via ops.qlinear.kernel_active.)"""
+    cache_k may be a per-layer (B, H, S, d) or stacked (L, B, H, S, d)
+    QuantizedArray. (Backend/TP gating is the caller's via
+    decode_kernel_active.)"""
     from libra_tpu.quantization import QuantizedArray
     if not ENABLED or q_len != 1:
         return False
     if not isinstance(cache_k, QuantizedArray):
         return False
-    S = cache_k.q.shape[2]
+    S = cache_k.q.shape[-2]
     return S % 128 == 0 and cfg.head_dim % 128 == 0

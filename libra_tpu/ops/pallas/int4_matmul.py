@@ -9,6 +9,16 @@ is the int4 byte count -- XLA cannot do this (a jnp unpack materialises
 int8/bf16 weights in HBM and measured 4.6x SLOWER than int8).
 
 Numerics: symmetric int4, q in [-8, 7], w ~= q * scale, scale = amax/7.
+
+STATUS -- MEMORY-ONLY, measured (r3, 1xv5e, (4096, 11008) decode matvec,
+bench.py kernels stage): int4 0.070 ms vs fused int8 0.060 ms vs bf16
+0.129 ms. The VPU nibble-unpack dominates, holding int4 at ~321 GB/s of
+effective int4 bytes while the int8 kernel streams 749 GB/s -- so int4
+HALVES weight memory but does NOT beat int8 tokens/s at decode batch
+sizes. Restructurings tried and rejected: all-8-bit unpack (crashes the
+Mosaic compiler), int8-pair dot trick (no nibble separation exists
+through a single dot). Use int8 for speed; int4 only when the model
+must fit a smaller HBM budget.
 """
 
 from __future__ import annotations

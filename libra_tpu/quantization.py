@@ -125,11 +125,18 @@ def quantize_array(w, axis: int) -> QuantizedArray:
 # channel (reduce the contracting axis, -2).
 _PER_ROW = ("embed_tokens", "vision_embed_tokens")
 
+# Leaves that stay in their original dtype: vision_lm_head (Q, D, Vv) is
+# consumed per-codebook through an einsum; int8 storage made XLA pick a
+# codebook-minor layout whose per-codebook slices ran at ~3 GB/s
+# (profiled 2.5 ms/decode-step, r3) while the bf16 head costs ~12 us of
+# clean streaming. It is ~8 MB -- int8 saved nothing that mattered.
+_NEVER_QUANT = ("vision_lm_head",)
+
 
 def _leaf_axis(name: str, leaf) -> Optional[int]:
     if not jnp.issubdtype(leaf.dtype, jnp.floating):
         return None
-    if leaf.ndim < 2:
+    if leaf.ndim < 2 or name in _NEVER_QUANT:
         return None
     # stacked per-layer norm gains are (L, D): matrices by shape but 1-D
     # vectors semantically -- quantizing them breaks the layer scan (their

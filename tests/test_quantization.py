@@ -121,12 +121,15 @@ def test_int8_kv_cache_roundtrip_bound():
     assert cache.k.scale.shape == (cfg.num_hidden_layers, 2, H, 8)
     new = np.random.RandomState(0).randn(
         2, 3, H, cfg.head_dim).astype(np.float32)
-    buf = jax.jit(lambda b, n: _write_cache(b, jnp.asarray(n), 2))(
-        cache.k[0], new)    # layer-0 slice: q (B, H, S, d), scale (B, H, S)
-    deq = np.asarray(buf.q, np.float32) * np.asarray(buf.scale)[..., None]
+    # write into layer 1 of the stacked carry at sequence offset 2
+    buf = jax.jit(lambda b, n: _write_cache(b, jnp.asarray(n), 1, 2))(
+        cache.k, new)
+    deq = (np.asarray(buf.q[1], np.float32)
+           * np.asarray(buf.scale[1])[..., None])            # (B, H, S, d)
     got = deq.transpose(0, 2, 1, 3)[:, 2:5]                  # (B, N, H, d)
     amax = np.abs(new).max(axis=-1, keepdims=True)
     assert (np.abs(got - new) <= amax / 254 + 1e-7).all()
+    assert not np.asarray(buf.q[0]).any()    # other layers untouched
 
 
 def test_int8_kv_cache_decode_close():
@@ -317,3 +320,6 @@ def test_flagship_decode_matmuls_all_kernel_supported():
         assert supports(decode_x(leaf.q.shape[-2]), leaf.q, leaf.scale), name
     # the flagship vision-MLP bottleneck is padded 2752 -> 2816
     assert shapes["layers"]["mlp"]["vision_gate"]["wa"].q.shape[-1] == 2816
+    # vision_lm_head stays bf16 (its int8 layout made per-codebook einsum
+    # slices pathologically strided -- profiled 2.5 ms/decode-step)
+    assert not isinstance(shapes["vision_lm_head"], QuantizedArray)
