@@ -237,37 +237,68 @@ def bench_decode_full_int8(B=4, text_len=32, max_new=64):
     from libra_tpu.generation import GenerationConfig, Generator
     from __graft_entry__ import _example_batch, _flagship_cfg
 
+    import jax.numpy as jnp
+
     cfg = _flagship_cfg(32)
     params = _device_quantized_params(cfg)
     ids, mask, vi, sig = _example_batch(cfg, B=B, text_len=text_len)
-    inputs = {"input_ids": ids, "attention_mask": mask,
-              "vision_indices": vi, "coninous_signal": sig}
     gen = GenerationConfig(max_new_tokens=max_new, eos_token_id=-1,
                            kv_quant=True)
+    short = 8
+    gen_s = GenerationConfig(max_new_tokens=short, eos_token_id=-1,
+                             kv_quant=True)
     g = Generator(params, cfg)
+    # BOTH trip counts use the SAME left-padded prompt (masked pad) so
+    # their programs share prefill work and cache length (Sc 768); the
+    # timing difference is then exactly (max_new - short) decode steps
+    pad = max_new - short
+    ids = np.pad(np.asarray(ids), ((0, 0), (0, 0), (pad, 0)),
+                 constant_values=gen.pad_token_id)
+    mask = np.pad(np.asarray(mask), ((0, 0), (pad, 0)))
+    vi = np.pad(np.asarray(vi), ((0, 0), (pad, 0)),
+                constant_values=cfg.max_vision_token_length)
+    sig = np.pad(np.asarray(sig), ((0, 0), (pad, 0), (0, 0)))
+    # stage inputs on-device once: numpy leaves re-ship through the TPU
+    # tunnel on every call (~5 MB of signal rows alone)
+    import jax
+    inputs = jax.device_put({"input_ids": ids, "attention_mask": mask,
+                             "vision_indices": vi, "coninous_signal": sig})
+    inputs_s = inputs
 
-    _sync(g(inputs, gen).sequences)    # compile + run
-    dt = None
-    for _ in range(2):                 # best-of-2 (tunnel stall guard)
-        t0 = time.perf_counter()
-        _sync(g(inputs, gen).sequences)
-        d = time.perf_counter() - t0
-        dt = d if dt is None else min(dt, d)
+    _sync(g(inputs, gen).sequences)      # compile + run
+    _sync(g(inputs_s, gen_s).sequences)  # compile short program
 
-    S = ids.shape[-1] + max_new
+    def best(fn, n=2):                   # best-of-n (tunnel stall guard)
+        out = None
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            d = time.perf_counter() - t0
+            out = d if out is None else min(out, d)
+        return out
+
+    dt = best(lambda: _sync(g(inputs, gen).sequences))
+    dt_s = best(lambda: _sync(g(inputs_s, gen_s).sequences))
+    # pure decode steps/s: the (prefill + dispatch + staging) constant
+    # cancels in the difference
+    step_s = max(dt - dt_s, 1e-9) / (max_new - short)
+    decode_only_tok_s = B / step_s
+
+    S = -(-(ids.shape[-1] + max_new) // 128) * 128   # the real cache length
     wb, kvb = _decode_roofline(cfg, params, B, S)
     bytes_per_step = wb + kvb
     sol_tok_s = B / (bytes_per_step / (ACHIEVABLE_GBPS * 1e9))
-    achieved_gbps = bytes_per_step * max_new / dt / 1e9
     roofline = {
         "decode_bytes_per_step_gb": round(bytes_per_step / 1e9, 3),
         "decode_weight_gb": round(wb / 1e9, 3),
         "decode_kv_gb": round(kvb / 1e9, 3),
-        "decode_achieved_gb_s": round(achieved_gbps, 1),
+        "decode_achieved_gb_s": round(bytes_per_step / step_s / 1e9, 1),
         "decode_sol_tok_s": round(sol_tok_s, 1),
-        "decode_pct_of_sol": round(100 * (max_new * B / dt) / sol_tok_s, 1),
+        "decode_pct_of_sol": round(100 * decode_only_tok_s / sol_tok_s, 1),
+        # whole-call number incl. the 610-token prefill (the r1/r2 metric)
+        "decode_tok_s_incl_prefill": round(max_new * B / dt, 2),
     }
-    return max_new * B / dt, dt, roofline
+    return decode_only_tok_s, dt, roofline
 
 
 def bench_vqa_fused_full32(B=4, text_len=32, max_new=64):

@@ -75,18 +75,26 @@ def _head_block(H: int, S: int, d: int, n_buf: int) -> int:
     return 1
 
 
-def _scores(q_h, k_ref, s_ref, h, inv_sqrt_d):
+def _scores(q_h, k_ref, srow, h, inv_sqrt_d):
     k = k_ref[h].astype(jnp.bfloat16)                   # (S, d) contiguous
     s = jax.lax.dot_general(q_h, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # (1, S)
-    return s * s_ref[h] * inv_sqrt_d
+    return s * srow * inv_sqrt_d
 
 
-def _weighted_v(a, v_ref, s_ref, h):
-    av = (a * s_ref[h]).astype(jnp.bfloat16)            # (1, S)
+def _weighted_v(a, v_ref, srow, h):
+    av = (a * srow).astype(jnp.bfloat16)                # (1, S)
     return jax.lax.dot_general(av, v_ref[h].astype(jnp.bfloat16),
                                (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)  # (1, d)
+
+
+# NOTE on scale blocks: the scale refs are the FULL (H, S) planes of the
+# sequence-minor (B, H, S) scale buffers, indexed inside the kernel at the
+# GLOBAL head (grid head-block offset + h). A per-head-block spec would
+# need a (hb, 1, S)-shaped reshape of the buffers -- a (8,128)->(1,128)
+# retiling that XLA materialised as a 12.6 MB copy of every scale buffer
+# per LAYER per decode step (profiled 2.8 ms/step, r3).
 
 
 def _kernel_bridge(q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
@@ -94,27 +102,33 @@ def _kernel_bridge(q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
                    fq_ref, fkv_ref, bias_ref, o_ref, *, inv_sqrt_d):
     cross = fq_ref[0, 0] != fkv_ref[:]                  # (1, S)
     bias = bias_ref[:]
+    h0 = pl.program_id(1) * q_ref.shape[0]
     for h in range(q_ref.shape[0]):
+        row = pl.ds(h0 + h, 1)
         q_h = q_ref[h]                                  # (1, d)
-        s = _scores(q_h, kq_ref, ks_ref, h, inv_sqrt_d)
-        sb = _scores(q_h, kbq_ref, kbs_ref, h, inv_sqrt_d)
+        s = _scores(q_h, kq_ref, ks_ref[row, :], h, inv_sqrt_d)
+        sb = _scores(q_h, kbq_ref, kbs_ref[row, :], h, inv_sqrt_d)
         s = s + jnp.where(cross, sb, 0.0)
         s = jnp.maximum(s + bias, BIG_NEG)
         a = jax.nn.softmax(s, axis=-1)                  # fp32 (1, S)
-        out = _weighted_v(a, vq_ref, vs_ref, h)
-        out = out + _weighted_v(jnp.where(cross, a, 0.0), vbq_ref, vbs_ref, h)
+        out = _weighted_v(a, vq_ref, vs_ref[row, :], h)
+        out = out + _weighted_v(jnp.where(cross, a, 0.0),
+                                vbq_ref, vbs_ref[row, :], h)
         o_ref[h] = out.astype(o_ref.dtype)
 
 
 def _kernel_plain(q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
                   bias_ref, o_ref, *, inv_sqrt_d):
     bias = bias_ref[:]
+    h0 = pl.program_id(1) * q_ref.shape[0]
     for h in range(q_ref.shape[0]):
+        row = pl.ds(h0 + h, 1)
         q_h = q_ref[h]
-        s = _scores(q_h, kq_ref, ks_ref, h, inv_sqrt_d)
+        s = _scores(q_h, kq_ref, ks_ref[row, :], h, inv_sqrt_d)
         s = jnp.maximum(s + bias, BIG_NEG)
         a = jax.nn.softmax(s, axis=-1)
-        o_ref[h] = _weighted_v(a, vq_ref, vs_ref, h).astype(o_ref.dtype)
+        o_ref[h] = _weighted_v(a, vq_ref, vs_ref[row, :], h) \
+            .astype(o_ref.dtype)
 
 
 def _kernel_bridge_stacked(idx_ref, *refs, inv_sqrt_d):
@@ -162,8 +176,8 @@ def int8_decode_attention(q, kq, ks, vq, vs, kbq=None, kbs=None,
         q_spec = pl.BlockSpec((None, hb, 1, d), lambda b, h, iref: (b, h, 0, 0))
         kv_spec = pl.BlockSpec((None, None, hb, S, d),
                                lambda b, h, iref: (iref[0], b, h, 0, 0))
-        s_spec = pl.BlockSpec((None, None, hb, 1, S),
-                              lambda b, h, iref: (iref[0], b, h, 0, 0))
+        s_spec = pl.BlockSpec((None, None, H, S),
+                              lambda b, h, iref: (iref[0], b, 0, 0))
         row_spec = pl.BlockSpec((None, 1, S), lambda b, h, iref: (b, 0, 0))
         fq_spec = pl.BlockSpec((None, 1, 1), lambda b, h, iref: (b, 0, 0))
         out_spec = pl.BlockSpec((None, hb, 1, d),
@@ -171,15 +185,17 @@ def int8_decode_attention(q, kq, ks, vq, vs, kbq=None, kbs=None,
     else:
         q_spec = pl.BlockSpec((None, hb, 1, d), lambda b, h: (b, h, 0, 0))
         kv_spec = pl.BlockSpec((None, hb, S, d), lambda b, h: (b, h, 0, 0))
-        s_spec = pl.BlockSpec((None, hb, 1, S), lambda b, h: (b, h, 0, 0))
+        s_spec = pl.BlockSpec((None, H, S), lambda b, h: (b, 0, 0))
         row_spec = pl.BlockSpec((None, 1, S), lambda b, h: (b, 0, 0))
         fq_spec = pl.BlockSpec((None, 1, 1), lambda b, h: (b, 0, 0))
         out_spec = pl.BlockSpec((None, hb, 1, d), lambda b, h: (b, h, 0, 0))
     out_shape = jax.ShapeDtypeStruct((B, H, 1, d), q.dtype)
 
     def sc(s):
-        lead = s.shape[:-3]
-        return s.astype(jnp.float32).reshape(lead + (B, H, 1, S))
+        # scales pass through UNRESHAPED (sequence-minor (.., B, H, S));
+        # the kernel indexes the (H, S) plane at the global head
+        assert s.dtype == jnp.float32, s.dtype
+        return s
 
     if use_bridge:
         fq = flag_q.astype(jnp.int32).reshape(B, 1, 1)
