@@ -242,15 +242,17 @@ def _write_cache(buf, new: jax.Array, layer_idx, index):
         scale_hn = scale[..., 0].transpose(0, 2, 1)          # (B, H, N)
         scale_hn = scale_hn.astype(buf.scale.dtype)
         if getattr(index, "ndim", 0) == 1:
-            def rowq(b, n, i):   # b: (L, H, S, d), n: (H, N, d)
-                return jax.lax.dynamic_update_slice(b, n[None], (li, 0, i, 0))
-
-            def rows(b, n, i):   # b: (L, H, S), n: (H, N)
-                return jax.lax.dynamic_update_slice(b, n[None], (li, 0, i))
-            new_q = jax.vmap(rowq, in_axes=(1, 0, 0), out_axes=1)(
-                buf.q, q_hm, index)
-            new_scale = jax.vmap(rows, in_axes=(1, 0, 0), out_axes=1)(
-                buf.scale, scale_hn, index)
+            # per-slot offsets (serving): a STATIC Python loop of chained
+            # in-place updates over the (small) slot pool. A vmap over the
+            # batch axis here made XLA physically transpose every 400 MB
+            # cache buffer to batch-major and back PER LAYER PER STEP
+            # (profiled 314 ms/step -- 16x the whole useful decode work).
+            new_q, new_scale = buf.q, buf.scale
+            for b in range(new.shape[0]):
+                new_q = jax.lax.dynamic_update_slice(
+                    new_q, q_hm[b:b + 1][None], (li, b, 0, index[b], 0))
+                new_scale = jax.lax.dynamic_update_slice(
+                    new_scale, scale_hn[b:b + 1][None], (li, b, 0, index[b]))
         else:
             new_q = jax.lax.dynamic_update_slice(
                 buf.q, q_hm[None], (li, 0, 0, index, 0))
@@ -260,9 +262,11 @@ def _write_cache(buf, new: jax.Array, layer_idx, index):
 
     new = new.astype(buf.dtype)
     if getattr(index, "ndim", 0) == 1:
-        def row(b, n, i):        # b: (L, S, H, d), n: (N, H, d)
-            return jax.lax.dynamic_update_slice(b, n[None], (li, i, 0, 0))
-        return jax.vmap(row, in_axes=(1, 0, 0), out_axes=1)(buf, new, index)
+        out = buf
+        for b in range(new.shape[0]):
+            out = jax.lax.dynamic_update_slice(
+                out, new[b:b + 1][None], (li, b, index[b], 0, 0))
+        return out
     return jax.lax.dynamic_update_slice(
         buf, new[None], (li, 0, index, 0, 0))
 

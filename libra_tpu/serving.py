@@ -255,7 +255,9 @@ class ServingEngine:
                 return _merge_slot(cache, out.cache, slot), mask_buf, \
                     logits, base_last, hist
 
-            self._prefill_fns[key] = jax.jit(f)
+            # donate the pooled cache + mask so prefill updates them in
+            # place instead of copying ~1.6 GB of buffers per request
+            self._prefill_fns[key] = jax.jit(f, donate_argnums=(1, 2))
         return self._prefill_fns[key]
 
     def _decode(self):
@@ -326,7 +328,10 @@ class ServingEngine:
                 return (toks, acts, cache, mask_buf, logits, vi_last,
                         pos_last, hist)
 
-            self._decode_fn = jax.jit(f)
+            # donate every carried buffer (cache, mask, logits, vi, pos,
+            # hist): the chunk updates them in place across dispatches --
+            # without donation each chunk copied the full cache pool
+            self._decode_fn = jax.jit(f, donate_argnums=(1, 2, 3, 4, 5, 8))
         return self._decode_fn
 
     # -- host-side scheduler -------------------------------------------------
