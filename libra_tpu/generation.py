@@ -289,6 +289,11 @@ class Generator:
         self.vq_cfg = vq_cfg
         self.mesh = mesh
         self._compiled: Dict[Any, Any] = {}
+        # the Pallas int8 kernels are opaque to GSPMD: under a TP mesh the
+        # sharded weights must stay on the XLA path (decided once here;
+        # r2 set this inside __call__ -- needless mutable state)
+        from libra_tpu.ops.qlinear import kernel_enabled
+        self._qk_ctx = functools.partial(kernel_enabled, mesh is None)
 
     def _get_fn(self, gen: GenerationConfig):
         key = gen
@@ -325,11 +330,6 @@ class Generator:
             pixels = jnp.asarray(pixels)
             img_start = jnp.asarray(img_start)
             sig = None
-
-        # the Pallas int8 kernel is opaque to GSPMD: under a TP mesh the
-        # sharded weights must stay on the XLA path
-        from libra_tpu.ops.qlinear import kernel_enabled
-        self._qk_ctx = lambda: kernel_enabled(self.mesh is None)
 
         if gen.prompt_bucket > 1:
             N = ids.shape[-1]

@@ -105,13 +105,20 @@ def fused_loss_fn(params, vq_params, cfg: LibraConfig, vq_cfg: VQGANConfig,
 
 def make_fused_train_step(cfg: LibraConfig, vq_cfg: VQGANConfig,
                           opt: optax.GradientTransformation,
-                          dropout_seed: int = 0):
+                          dropout_seed: int = 0, grad_mask=None):
+    """grad_mask: static bool pytree (training.optimizer.trainable_mask)
+    -- frozen leaves never get dL/dW matmuls emitted (see
+    trainer.masked_value_and_grad)."""
+    from libra_tpu.training.trainer import masked_value_and_grad
+
     def step(state: TrainState, vq_params, batch: FusedBatch):
         rng = (jax.random.fold_in(jax.random.PRNGKey(dropout_seed),
                                   state.step)
                if M.dropout_enabled(cfg) else None)
-        loss, grads = jax.value_and_grad(fused_loss_fn)(
-            state.params, vq_params, cfg, vq_cfg, batch, dropout_rng=rng)
+        loss, grads = masked_value_and_grad(
+            lambda p: fused_loss_fn(p, vq_params, cfg, vq_cfg, batch,
+                                    dropout_rng=rng),
+            state.params, grad_mask)
         updates, new_opt = opt.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return (TrainState(new_params, new_opt, state.step + 1),

@@ -63,16 +63,50 @@ def loss_fn(params: Any, cfg: LibraConfig, batch: Dict[str, Any],
                                 unified=cfg.unified_head)
 
 
+def masked_value_and_grad(loss_of_params, params, grad_mask):
+    """value_and_grad over ONLY the grad_mask-True leaves.
+
+    The r2 design differentiated the FULL tree and let the optimizer's
+    set_to_zero partition discard frozen gradients -- which still EMITTED
+    every frozen dL/dW matmul (a third of the backward FLOPs under
+    frozen_language) and carried a full-tree gradient buffer. Here the
+    frozen leaves enter the loss as closed-over constants, so their
+    weight-gradient matmuls are never built; the returned tree has
+    jnp.zeros_like leaves for frozen params (folded by XLA -- the optax
+    partition API still sees a full tree).
+
+    grad_mask=None keeps the plain full-tree behaviour."""
+    if grad_mask is None:
+        return jax.value_and_grad(loss_of_params)(params)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    m = jax.tree_util.tree_leaves(grad_mask)
+    tp = [p for p, mm in zip(leaves, m) if mm]
+
+    def loss_t(tp_):
+        it = iter(tp_)
+        full = jax.tree_util.tree_unflatten(
+            treedef, [next(it) if mm else p for p, mm in zip(leaves, m)])
+        return loss_of_params(full)
+
+    loss, gt = jax.value_and_grad(loss_t)(tp)
+    it = iter(gt)
+    grads = jax.tree_util.tree_unflatten(
+        treedef, [next(it) if mm else jnp.zeros_like(p)
+                  for p, mm in zip(leaves, m)])
+    return loss, grads
+
+
 def train_step(state: TrainState, batch: Dict[str, Any], *,
                cfg: LibraConfig, opt: optax.GradientTransformation,
-               dropout_seed: int = 0
+               dropout_seed: int = 0, grad_mask: Any = None
                ) -> Tuple[TrainState, Dict[str, jax.Array]]:
     # per-step dropout rng (only materialised when any pdrop > 0): the
     # step counter keys the fold so resume reproduces the same masks
     rng = (jax.random.fold_in(jax.random.PRNGKey(dropout_seed), state.step)
            if M.dropout_enabled(cfg) else None)
-    loss, grads = jax.value_and_grad(loss_fn)(state.params, cfg, batch,
-                                              dropout_rng=rng)
+    loss, grads = masked_value_and_grad(
+        lambda p: loss_fn(p, cfg, batch, dropout_rng=rng),
+        state.params, grad_mask)
     updates, new_opt = opt.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     metrics = {
@@ -111,7 +145,7 @@ def _group_loss_fn(params: Any, cfg: LibraConfig, batch: Dict[str, Any],
 
 def accum_train_step(state: TrainState, batch: Dict[str, Any], *,
                      cfg: LibraConfig, opt: optax.GradientTransformation,
-                     dropout_seed: int = 0
+                     dropout_seed: int = 0, grad_mask: Any = None
                      ) -> Tuple[TrainState, Dict[str, jax.Array]]:
     """REAL gradient accumulation (reference shape: 8 micro x 4 accum,
     libra_pretrain.yaml:95-96): batch leaves carry a leading micro axis
@@ -119,7 +153,11 @@ def accum_train_step(state: TrainState, batch: Dict[str, Any], *,
     and accumulates gradients, so peak activation memory stays at
     micro-batch scale while the result equals the concatenated batch
     EXACTLY (losses are normalised by group-total valid counts, computed
-    from labels alone before the scan)."""
+    from labels alone before the scan).
+
+    With `grad_mask`, both the per-micro backward AND the carried
+    accumulator cover only the trainable leaves (frozen_language drops
+    ~70% of the gradient buffer and every frozen dL/dW matmul)."""
     labels = batch["labels"]                      # (A, Q, B, N)
     A = labels.shape[0]
     denom = jnp.maximum(
@@ -128,18 +166,33 @@ def accum_train_step(state: TrainState, batch: Dict[str, Any], *,
     enabled = M.dropout_enabled(cfg)
     key = jax.random.fold_in(jax.random.PRNGKey(dropout_seed), state.step)
 
+    leaves, treedef = jax.tree_util.tree_flatten(state.params)
+    m = (jax.tree_util.tree_leaves(grad_mask) if grad_mask is not None
+         else [True] * len(leaves))
+    tp0 = [p for p, mm in zip(leaves, m) if mm]
+
+    def merge(tp_):
+        it = iter(tp_)
+        return jax.tree_util.tree_unflatten(
+            treedef, [next(it) if mm else p for p, mm in zip(leaves, m)])
+
     def body(carry, xs):
         mb, idx = xs
         rng = jax.random.fold_in(key, idx) if enabled else None
-        loss, grads = jax.value_and_grad(_group_loss_fn)(
-            state.params, cfg, mb, denom, dropout_rng=rng)
+        loss, gt = jax.value_and_grad(
+            lambda tp_: _group_loss_fn(merge(tp_), cfg, mb, denom,
+                                       dropout_rng=rng))(tp0)
         loss_sum, grad_sum = carry
         return (loss_sum + loss,
-                jax.tree_util.tree_map(jnp.add, grad_sum, grads)), None
+                jax.tree_util.tree_map(jnp.add, grad_sum, gt)), None
 
-    zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-    (loss, grads), _ = jax.lax.scan(
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, tp0)
+    (loss, gt), _ = jax.lax.scan(
         body, (jnp.float32(0.0), zeros), (batch, jnp.arange(A)))
+    it = iter(gt)
+    grads = jax.tree_util.tree_unflatten(
+        treedef, [next(it) if mm else jnp.zeros_like(p)
+                  for p, mm in zip(leaves, m)])
     updates, new_opt = opt.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     metrics = {
@@ -220,11 +273,19 @@ class Trainer:
             self.state = self.state._replace(
                 opt_state=jax.device_put(self.state.opt_state,
                                          self._host_shard))
+        # trainable-only gradients when any freeze policy is active (the
+        # mask is static python bools -- safe to close over the jit)
+        from libra_tpu.training.optimizer import trainable_mask
+        gmask = trainable_mask(params, self.opt_cfg)
+        if all(jax.tree_util.tree_leaves(gmask)):
+            gmask = None
         self._step = jax.jit(
-            functools.partial(train_step, cfg=cfg, opt=self.opt),
+            functools.partial(train_step, cfg=cfg, opt=self.opt,
+                              grad_mask=gmask),
             donate_argnums=(0,))
         self._accum_step = jax.jit(
-            functools.partial(accum_train_step, cfg=cfg, opt=self.opt),
+            functools.partial(accum_train_step, cfg=cfg, opt=self.opt,
+                              grad_mask=gmask),
             donate_argnums=(0,))
         self._eval = jax.jit(functools.partial(eval_step, cfg=cfg))
 
