@@ -535,15 +535,16 @@ def bench_train_compile(num_layers=32, B=8, A=4, text_len=122):
         return (args + temp + outs - alias) / 1e9, {
             "args_gb": round(args / 1e9, 2), "temp_gb": round(temp / 1e9, 2)}
 
-    # The remote TPU compiler's helper crashes (HTTP 500) on the full-width
-    # 32-layer program regardless of accumulation depth, so ladder down:
-    # compile the largest layer count the compiler survives, plus a second
-    # point for a linear-in-L fit, and report the extrapolated full-32
-    # peak. Peak is A-invariant (the accumulation scan reuses one micro's
-    # activation workspace; the grad accumulator is allocated once).
+    # The remote TPU compiler's helper crashes (HTTP 500) at L>=8 on the
+    # full-width remat-accumulation program; repeated crashes wedge the
+    # tunnel for the rest of the session. So: ONE full-32 attempt (the
+    # direct evidence, and its error if it dies), then straight to the
+    # known-good L=4 plus an L=2 point for a linear-in-L fit, reporting
+    # the extrapolated full-32 peak. Peak is A-invariant (the accumulation
+    # scan reuses one micro's activation workspace; the grad accumulator
+    # is allocated once).
     last_err = ""
-    for L, b_sz, a_sz in ((num_layers, B, A), (num_layers, B, 1),
-                          (16, B, A), (8, B, A)):
+    for L, b_sz, a_sz in ((num_layers, B, A), (4, B, A)):
         t0 = time.perf_counter()
         try:
             peak, detail = try_compile(L, b_sz, a_sz)
@@ -664,8 +665,10 @@ _STAGES = {
         ("train_step_tok_s", "train_mfu"),
         (lambda r: (round(r[0], 1), round(r[1], 4)))(
             bench_train_step()))), 900),
-    "train_compile": (lambda: bench_train_compile(), 2400),
     "kernels": (lambda: bench_kernels(), 900),
+    # LAST: its full-32 compile attempt can crash the remote compile
+    # helper (HTTP 500), which wedges the tunnel for later stages.
+    "train_compile": (lambda: bench_train_compile(), 2400),
 }
 
 
