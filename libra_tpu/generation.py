@@ -41,6 +41,10 @@ class GenerationConfig:
     prompt_bucket: int = 0   # 0 = pad prompt to exact length (one jit per len)
     attn_impl: str = "auto"  # "auto" | "xla" | "pallas" (prefill kernel)
     kv_quant: bool = False   # int8 K/V cache (per-token/head scales)
+    a8_prefill: bool = False  # w8a8 prefill: int8-weight matmuls quantize
+    #   activations per-token and run native s8 x s8 MXU dots (2x bf16 MXU
+    #   rate, no dequantized-weight traffic). Prefill only -- decode keeps
+    #   exact weight-only dequant. No-op unless params are int8-quantized.
 
 
 def _filter_top_k(logits: jax.Array, k: int) -> jax.Array:
@@ -160,9 +164,14 @@ def _generate_impl(params, input_ids, attention_mask, vision_indices,
         pos = M.position_ids_from_mask(attention_mask)
         offset_tab = None
         base_last = None
-    out = M.forward(params, cfg, input_ids, mask_buf, vision_indices,
-                    contiguous_signal, position_ids=pos, cache=cache,
-                    attn_impl=impl)
+    from libra_tpu.ops.qlinear import a8_enabled
+    with a8_enabled(gen.a8_prefill):
+        # w8a8 applies to the compute-bound prompt pass only; the decode
+        # body below traces OUTSIDE this context and stays on the exact
+        # weight-only-dequant path
+        out = M.forward(params, cfg, input_ids, mask_buf, vision_indices,
+                        contiguous_signal, position_ids=pos, cache=cache,
+                        attn_impl=impl)
 
     flag_last = vision_indices[:, -1] < Mv
     vi_last = vision_indices[:, -1]

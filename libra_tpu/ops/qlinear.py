@@ -27,6 +27,13 @@ _KERNEL_ENABLED = contextvars.ContextVar(
     "libra_int8_kernel",
     default=os.environ.get("LIBRA_DISABLE_INT8_KERNEL", "0") != "1")
 
+# w8a8 mode: per-token dynamic int8 activation quantization so x @ W runs
+# as a native s8 x s8 -> s32 MXU dot (2x the bf16 MXU rate on v5e) with NO
+# bf16 weight materialisation. Enabled per-trace around compute-bound
+# regions (prefill) via a8_enabled(); decode stays on the Pallas
+# dequant-matvec kernel (bandwidth-bound -- a8 buys nothing there).
+_A8_ENABLED = contextvars.ContextVar("libra_a8", default=False)
+
 
 @contextlib.contextmanager
 def kernel_enabled(flag: bool):
@@ -36,6 +43,37 @@ def kernel_enabled(flag: bool):
         yield
     finally:
         _KERNEL_ENABLED.reset(token)
+
+
+@contextlib.contextmanager
+def a8_enabled(flag: bool):
+    """Trace-time switch: int8-weight matmuls quantize activations
+    per-token and run s8 x s8 MXU dots (w8a8). Wrap compute-bound traces
+    only (prefill); weight-only dequant stays exact for everything else."""
+    token = _A8_ENABLED.set(flag)
+    try:
+        yield
+    finally:
+        _A8_ENABLED.reset(token)
+
+
+def _a8_dot(x: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
+    """x (..., K) float -> (..., F) via per-token symmetric int8 activation
+    quantization against int8 weights q (K, F) with per-out-channel scales
+    scale (1, F). y ~= (x_q @ q) * s_x * s_w computed in one s8 x s8 -> s32
+    MXU dot: half the bf16 matmul time at prefill sizes AND no dequantized
+    bf16 weight copy (the XLA fallback writes+rereads 2x the int8 bytes).
+    Error is the standard w8a8 budget (~0.7% rel per dot; see
+    tests/test_quantization.py::test_a8_dot_accuracy)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.where(amax > 0, amax, 1.0) / 127.0
+    xq = jnp.round(xf / sx).astype(jnp.int8)
+    yi = jax.lax.dot_general(
+        xq, q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = yi.astype(jnp.float32) * sx * scale.astype(jnp.float32)[0]
+    return y.astype(x.dtype)
 
 
 def kernel_active() -> bool:
@@ -58,4 +96,14 @@ def qdot(x: jax.Array, w) -> jax.Array:
                 return int8_matmul(x, qa.q, qa.scale, idx=w.idx)
         elif supports(x, w.q, w.scale):
             return int8_matmul(x, w.q, w.scale)
+    if _A8_ENABLED.get() and isinstance(w, (QuantizedArray, LayerView)):
+        if isinstance(w, LayerView):
+            q, s = w.qa.q[w.idx], w.qa.scale[w.idx]
+        else:
+            q, s = w.q, w.scale
+        # only plain x @ W leaves with per-out-channel scales qualify
+        # (per-row-scaled embedding tables never reach qdot)
+        if q.ndim == 2 and s.ndim == 2 and s.shape[0] == 1 \
+                and x.shape[-1] == q.shape[0]:
+            return _a8_dot(x, q, s)
     return jnp.einsum("...i,io->...o", x, w.astype(x.dtype))

@@ -227,8 +227,12 @@ class ServingEngine:
                 else:
                     pos = M.position_ids_from_mask(pmask)
                     base_last = pos[:, -1]
-                out = M.forward(params, cfg, ids, row,
-                                vi, sig, position_ids=pos, cache=piece)
+                from libra_tpu.ops.qlinear import a8_enabled
+                with a8_enabled(self.gen.a8_prefill):
+                    # w8a8 on the compute-bound prompt pass only (decode
+                    # keeps exact weight-only dequant), as in generation.py
+                    out = M.forward(params, cfg, ids, row,
+                                    vi, sig, position_ids=pos, cache=piece)
                 flag_last = vi[:, -1] < cfg.max_vision_token_length
                 if self._is_2d:
                     h = out.hidden_states

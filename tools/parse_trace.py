@@ -3,7 +3,8 @@ import collections, glob, sys
 
 from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-paths = sorted(glob.glob("/tmp/jaxtrace/**/*.xplane.pb", recursive=True))
+trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jaxtrace"
+paths = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))
 print("xplane files:", paths)
 for path in paths:
     xs = xplane_pb2.XSpace()
