@@ -301,13 +301,15 @@ def bench_decode_full_int8(B=4, text_len=32, max_new=64):
     return decode_only_tok_s, dt, roofline
 
 
-def bench_vqa_fused_full32(B=4, text_len=32, max_new=64):
+def bench_vqa_fused_full32(B=4, text_len=32, max_new=64, a8=True):
     """BASELINE configs 3-4 at REAL scale: the full 32-layer 11B flagship
     (int8 weights + int8 KV) answering batched single-image VQA prompts
     with CLIP+VQGAN encode fused into the prefill program (batched
     continuous decode per BASELINE config 4). B=4 is the BASELINE-config-4
-    batch (r2 ran B=2; the stage runner falls back if this OOMs). Returns
-    (ttft_s, aggregate decode_tok_s)."""
+    batch (r2 ran B=2; the stage runner falls back if this OOMs). a8=True
+    runs the prompt pass w8a8 (s8 x s8 MXU dots; measured TTFT 608 -> 446
+    ms, decode unchanged -- decode always stays weight-only dequant).
+    Returns (ttft_s, aggregate decode_tok_s)."""
     import jax
     import jax.numpy as jnp
 
@@ -332,9 +334,10 @@ def bench_vqa_fused_full32(B=4, text_len=32, max_new=64):
               "pixels": pixels, "img_start": img_start}
     g = Generator(params, cfg, vq_params=vq_params, vq_cfg=vq_cfg)
 
-    gen1 = GenerationConfig(max_new_tokens=1, eos_token_id=-1, kv_quant=True)
+    gen1 = GenerationConfig(max_new_tokens=1, eos_token_id=-1, kv_quant=True,
+                            a8_prefill=a8)
     genN = GenerationConfig(max_new_tokens=max_new, eos_token_id=-1,
-                            kv_quant=True)
+                            kv_quant=True, a8_prefill=a8)
     _sync(g(inputs, gen1).sequences)    # compile
     _sync(g(inputs, genN).sequences)    # compile
 
@@ -450,7 +453,7 @@ def bench_serving(B=4, n_requests=24, max_new=64, decode_chunk=16):
 
     cfg = _flagship_cfg(32)
     params = _device_quantized_params(cfg)
-    gen = GenerationConfig(eos_token_id=-1, kv_quant=True)
+    gen = GenerationConfig(eos_token_id=-1, kv_quant=True, a8_prefill=True)
     eng = ServingEngine(params, cfg, max_batch=B, max_len=768, gen=gen,
                         prompt_bucket=640, decode_chunk=decode_chunk)
 

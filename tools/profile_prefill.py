@@ -35,7 +35,8 @@ pixels = np.random.RandomState(0).randn(B, 336, 336, 3).astype(np.float32)
 inputs = {"input_ids": ids, "attention_mask": mask, "vision_indices": vi,
           "pixels": pixels, "img_start": img_start}
 g = Generator(params, cfg, vq_params=vq_params, vq_cfg=vq_cfg)
-gen1 = GenerationConfig(max_new_tokens=1, eos_token_id=-1, kv_quant=True)
+gen1 = GenerationConfig(max_new_tokens=1, eos_token_id=-1, kv_quant=True,
+                        a8_prefill=os.environ.get("A8", "1") == "1")
 bench._sync(g(inputs, gen1).sequences)
 print("compiled", flush=True)
 t0 = time.perf_counter()
