@@ -45,6 +45,12 @@ class GenerationConfig:
     #   activations per-token and run native s8 x s8 MXU dots (2x bf16 MXU
     #   rate, no dequantized-weight traffic). Prefill only -- decode keeps
     #   exact weight-only dequant. No-op unless params are int8-quantized.
+    split_prefill: bool = True  # modality-split prefill (raw-pixels path
+    #   only): run the full-rank language projections on the static-width
+    #   text rows instead of all N positions (the fixed 578-token image
+    #   block makes the text width static). Exact -- language outputs at
+    #   vision positions are discarded by the routing merge anyway.
+    #   Auto-disabled in addition_mode (language path needed everywhere).
 
 
 def _filter_top_k(logits: jax.Array, k: int) -> jax.Array:
@@ -113,6 +119,13 @@ def _generate_impl(params, input_ids, attention_mask, vision_indices,
     Q, B, N = input_ids.shape
     Mv = cfg.max_vision_token_length
     S = N + gen.max_new_tokens
+    text_span = None
+    if (pixels is not None and gen.split_prefill
+            and not cfg.addition_mode):
+        # every raw-pixels row carries exactly one full Mv image block at
+        # img_start, so the text width N - Mv is static -- the split is
+        # exact (and bitwise so under a8_prefill: same per-token dots)
+        text_span = M.text_span_maps(cfg, img_start, N)
     # Quantized caches round their length up to 128: the fused decode-
     # attention kernel (the default quantized decode path) needs S-aligned
     # blocks. Extra positions are masked; their traffic cost is bounded by
@@ -171,7 +184,7 @@ def _generate_impl(params, input_ids, attention_mask, vision_indices,
         # weight-only-dequant path
         out = M.forward(params, cfg, input_ids, mask_buf, vision_indices,
                         contiguous_signal, position_ids=pos, cache=cache,
-                        attn_impl=impl)
+                        attn_impl=impl, text_span=text_span)
 
     flag_last = vision_indices[:, -1] < Mv
     vi_last = vision_indices[:, -1]

@@ -30,9 +30,10 @@ from libra_tpu.ops.attention import (AttentionInputs, BIG_NEG, bridged_attention
                                      causal_bias)
 from libra_tpu.ops.norm import rms_norm
 from libra_tpu.ops.rope import apply_rope, apply_rope_2d, rope_cos_sin
-from libra_tpu.ops.routed import (low_rank_linear, routed_dropout,
-                                  routed_linear, routed_low_rank,
-                                  select_by_flag)
+from libra_tpu.ops.routed import (gather_rows, low_rank_linear,
+                                  routed_dropout, routed_linear,
+                                  routed_low_rank, select_by_flag,
+                                  split_merge)
 
 Params = Dict[str, Any]
 
@@ -390,7 +391,8 @@ def _choose_block_q(nq: int) -> Optional[int]:
 def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
                cos, sin, position_ids, bias, kv_flag,
                cache_slice, attn_impl: str = "xla",
-               dropout_rng: Optional[jax.Array] = None) -> Tuple[jax.Array, Any]:
+               dropout_rng: Optional[jax.Array] = None,
+               text_span=None) -> Tuple[jax.Array, Any]:
     """Routed attention with bridge. h is the (routed-)normed input.
 
     cache_slice: None (no cache) or {"bufs": dict of FULL STACKED cache
@@ -407,7 +409,8 @@ def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
 
     def rproj(name):
         vp = a["vision_" + name[0]]  # vision_q / vision_k / vision_v
-        return routed_linear(h, flag, a[name], vp["wa"], vp["wb"], am)
+        return routed_linear(h, flag, a[name], vp["wa"], vp["wb"], am,
+                             text_span=text_span)
 
     q = _split_heads(rproj("q_proj"), H)
     k = _split_heads(rproj("k_proj"), H)
@@ -509,24 +512,36 @@ def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
     vo = a["vision_o"]
     out = routed_linear(out, flag, a["o_proj"], vo["wa"], vo["wb"], am,
                         dropout=(rng_o, cfg.resid_pdrop,
-                                 cfg.vision_resid_pdrop))
+                                 cfg.vision_resid_pdrop),
+                        text_span=text_span)
     return out, new_cache
 
 
 def _mlp(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
-         dropout_rng: Optional[jax.Array] = None) -> jax.Array:
+         dropout_rng: Optional[jax.Array] = None,
+         text_span=None) -> jax.Array:
     """Routed SwiGLU MLP (reference: LibraMLP, modeling_libra.py:206-238).
     Note: LibraMLP routes strictly even in addition_mode (its forward never
     consults the flag's addition variant)."""
     from libra_tpu.ops.qlinear import qdot
     m = p["mlp"]
-    lang = qdot(jax.nn.silu(qdot(h, m["gate_proj"])) * qdot(h, m["up_proj"]),
-                m["down_proj"])
+
+    def lang_mlp(x):
+        return qdot(jax.nn.silu(qdot(x, m["gate_proj"]))
+                    * qdot(x, m["up_proj"]), m["down_proj"])
+
     gate_v = low_rank_linear(h, m["vision_gate"]["wa"], m["vision_gate"]["wb"])
     up_v = low_rank_linear(h, m["vision_up"]["wa"], m["vision_up"]["wb"])
     vis = low_rank_linear(jax.nn.silu(gate_v) * up_v,
                           m["vision_down"]["wa"], m["vision_down"]["wb"])
-    out = select_by_flag(flag, vis, lang)
+    if text_span is not None and dropout_rng is None:
+        # modality-split prefill: the full-rank language MLP (the expensive
+        # path -- 60% of the layer's dot FLOPs) runs only on the gathered
+        # text rows; strict routing makes this exact in every mode
+        src, inv = text_span
+        out = split_merge(flag, vis, lang_mlp(gather_rows(h, src)), inv)
+    else:
+        out = select_by_flag(flag, vis, lang_mlp(h))
     # per-path post-down_proj dropout (reference: modeling_libra.py:232-233);
     # strict routing => per-position modality rate after the merge
     return routed_dropout(dropout_rng, out, flag,
@@ -536,7 +551,8 @@ def _mlp(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
 def decoder_layer(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
                   cos, sin, position_ids, bias, kv_flag,
                   cache_slice, attn_impl: str = "xla",
-                  dropout_rng: Optional[jax.Array] = None) -> Tuple[jax.Array, Any]:
+                  dropout_rng: Optional[jax.Array] = None,
+                  text_span=None) -> Tuple[jax.Array, Any]:
     """One pre-norm decoder layer with separate vision RMSNorms
     (reference: LibraDecoderLayer, modeling_libra.py:416-491)."""
     eps = cfg.rms_norm_eps
@@ -549,13 +565,41 @@ def decoder_layer(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
                         rms_norm(h, p["input_layernorm"], eps))
     attn_out, new_cache = _attention(p, cfg, hn, flag, cos, sin,
                                      position_ids, bias, kv_flag, cache_slice,
-                                     attn_impl, dropout_rng=rng_attn)
+                                     attn_impl, dropout_rng=rng_attn,
+                                     text_span=text_span)
     h = h + attn_out
     hn2 = select_by_flag(flag,
                          rms_norm(h, p["vision_post_attention_layernorm"], eps),
                          rms_norm(h, p["post_attention_layernorm"], eps))
-    h = h + _mlp(p, cfg, hn2, flag, dropout_rng=rng_mlp)
+    h = h + _mlp(p, cfg, hn2, flag, dropout_rng=rng_mlp,
+                 text_span=text_span)
     return h, new_cache
+
+
+def text_span_maps(cfg: LibraConfig, img_start: jax.Array, N: int):
+    """Row maps for the modality-split prefill (see routed_linear).
+
+    For prompts where EVERY row carries exactly one full image block of
+    Mv = max_vision_token_length tokens starting at img_start[b] (the fused
+    raw-pixels prefill layout, generation.py), the non-vision positions of
+    each row are [0, img_start) + [img_start+Mv, N) -- exactly T = N - Mv
+    of them, a STATIC width. Returns (src (B, T), inv (B, N)):
+      src[b, j] = j-th non-vision position of row b;
+      inv[b, n] = index into src recovering position n (clipped junk at
+                  vision positions; callers select those away by flag).
+    Left-padding rows is fine: pad positions are non-vision, are covered by
+    src, and their (garbage either way) outputs are masked downstream.
+    Returns None when the prompt has no text budget (N == Mv)."""
+    Mv = cfg.max_vision_token_length
+    T = N - Mv
+    if T <= 0:
+        return None
+    start = img_start[:, None]
+    j = jnp.arange(T, dtype=jnp.int32)[None, :]
+    src = j + Mv * (j >= start)
+    n = jnp.arange(N, dtype=jnp.int32)[None, :]
+    inv = jnp.clip(n - Mv * (n >= start + Mv), 0, T - 1)
+    return src, inv
 
 
 # ---------------------------------------------------------------------------
@@ -574,7 +618,8 @@ def forward(params: Params, cfg: LibraConfig, input_ids: jax.Array,
             cache: Optional[KVCache] = None,
             remat: bool = False,
             attn_impl: str = "xla",
-            dropout_rng: Optional[jax.Array] = None) -> ModelOutput:
+            dropout_rng: Optional[jax.Array] = None,
+            text_span=None) -> ModelOutput:
     """Backbone forward (reference: LibraModel.forward, modeling_libra.py:680-831).
 
     input_ids: (Q, B, N) combined-vocab ids.
@@ -660,7 +705,8 @@ def forward(params: Params, cfg: LibraConfig, input_ids: jax.Array,
         new_h, new_bufs = decoder_layer(take_layer(idx), cfg, carry_h, flag,
                                         cos, sin, position_ids, bias, kv_flag,
                                         cache_slice, attn_impl,
-                                        dropout_rng=rng)
+                                        dropout_rng=rng,
+                                        text_span=text_span)
         if cache is None:
             return new_h, None
         return (new_h, dict(bufs, **new_bufs)), None

@@ -54,6 +54,23 @@ def routed_dropout(rng: Optional[jax.Array], x: jax.Array, flag: jax.Array,
     return jnp.where(keep, x / keep_p.astype(x.dtype), jnp.zeros_like(x))
 
 
+def gather_rows(x: jax.Array, src: jax.Array) -> jax.Array:
+    """x (B, N, ...), src (B, T) int -> (B, T, ...): per-batch row gather."""
+    idx = src.reshape(src.shape + (1,) * (x.ndim - 2))
+    return jnp.take_along_axis(x, idx, axis=1)
+
+
+def split_merge(flag: jax.Array, vis: jax.Array, lang_rows: jax.Array,
+                inv: jax.Array) -> jax.Array:
+    """Merge a dense vision output (B, N, F) with language outputs computed
+    only on the T gathered text rows (B, T, F): broadcast the text rows back
+    to full width via the inverse row map `inv` (B, N; clipped junk at
+    vision positions) and select by flag. A gather-merge, not a scatter --
+    row gathers lower to fast dynamic-gathers on TPU while row scatters can
+    serialise."""
+    return select_by_flag(flag, vis, gather_rows(lang_rows, inv))
+
+
 def low_rank_linear(x: jax.Array, wa: jax.Array, wb: jax.Array) -> jax.Array:
     """Factored linear y = (x @ wa) @ wb.
 
@@ -68,7 +85,8 @@ def low_rank_linear(x: jax.Array, wa: jax.Array, wb: jax.Array) -> jax.Array:
 def routed_linear(x: jax.Array, flag: jax.Array, w_lang: jax.Array,
                   wa_vis: jax.Array, wb_vis: jax.Array,
                   addition_mode: bool = False,
-                  dropout: Optional[tuple] = None) -> jax.Array:
+                  dropout: Optional[tuple] = None,
+                  text_span: Optional[tuple] = None) -> jax.Array:
     """Dense routed projection.
 
     Language path: full-rank x @ w_lang. Vision path: low-rank (x@wa)@wb.
@@ -80,8 +98,24 @@ def routed_linear(x: jax.Array, flag: jax.Array, w_lang: jax.Array,
     merge -- in addition_mode the two summed terms get independent masks,
     matching the reference's [o_proj, resid_drop] / [vision_o_proj,
     vision_resid_drop] module lists (modeling_libra.py:409).
+
+    text_span: optional (src (B, T), inv (B, N)) modality-split prefill maps
+    (see models/libra.py::text_span_maps). When given (and not
+    addition_mode, no active dropout), the EXPENSIVE full-rank language dot
+    runs only on the T gathered text rows instead of all N -- exact, since
+    language outputs at vision positions are discarded by the merge anyway.
+    With a fixed 578-token image in a 610-token prompt this removes 95% of
+    the language-path prefill FLOPs; T is static (N - 578), so shapes stay
+    XLA-friendly.
     """
     from libra_tpu.ops.qlinear import qdot
+    if text_span is not None and not addition_mode and (
+            dropout is None or dropout[0] is None
+            or (dropout[1] == 0.0 and dropout[2] == 0.0)):
+        src, inv = text_span
+        vis = low_rank_linear(x, wa_vis, wb_vis)
+        lang_rows = qdot(gather_rows(x, src), w_lang)
+        return split_merge(flag, vis, lang_rows, inv)
     lang = qdot(x, w_lang)
     vis = low_rank_linear(x, wa_vis, wb_vis)
     if dropout is not None:

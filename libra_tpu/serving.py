@@ -227,12 +227,20 @@ class ServingEngine:
                 else:
                     pos = M.position_ids_from_mask(pmask)
                     base_last = pos[:, -1]
+                text_span = None
+                if (has_pixels and self.gen.split_prefill
+                        and not cfg.addition_mode):
+                    # raw-pixels rows carry one full image block: run the
+                    # full-rank language projections on the static-width
+                    # text rows only (exact; see generation.py)
+                    text_span = M.text_span_maps(cfg, img_start, N)
                 from libra_tpu.ops.qlinear import a8_enabled
                 with a8_enabled(self.gen.a8_prefill):
                     # w8a8 on the compute-bound prompt pass only (decode
                     # keeps exact weight-only dequant), as in generation.py
                     out = M.forward(params, cfg, ids, row,
-                                    vi, sig, position_ids=pos, cache=piece)
+                                    vi, sig, position_ids=pos, cache=piece,
+                                    text_span=text_span)
                 flag_last = vi[:, -1] < cfg.max_vision_token_length
                 if self._is_2d:
                     h = out.hidden_states

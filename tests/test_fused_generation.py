@@ -108,3 +108,34 @@ def test_fused_generation_multilayer_signal():
     seq = np.asarray(res.sequences)
     assert seq.shape[-1] == ids.shape[-1] + 4
     assert (seq >= 0).all()
+
+
+def test_uint8_pixels_match_prenormalized():
+    """uint8 pixels normalize ON DEVICE inside the prefill program with the
+    exact host math (data/processors.py rescale+normalize), so sequences
+    match the pre-normalized float32 path bit for bit."""
+    cfg = LibraConfig.tiny()
+    vq_cfg = VQGANConfig.tiny()
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    vq_params = vqgan_model.init_params(jax.random.PRNGKey(1), vq_cfg)
+    Mv = cfg.max_vision_token_length
+
+    rs = np.random.RandomState(3)
+    u8 = rs.randint(0, 256, size=(1, 28, 28, 3)).astype(np.uint8)
+    mean = np.asarray(vq_cfg.clip.image_mean, np.float32)
+    std = np.asarray(vq_cfg.clip.image_std, np.float32)
+    f32 = (u8.astype(np.float32) / 255.0 - mean) / std
+
+    N = Mv + 5
+    ids = rs.randint(3, cfg.vocab_size,
+                     size=(cfg.vision_codebook_num, 1, N)).astype(np.int64)
+    vi = np.full((1, N), Mv, np.int64)
+    vi[0, 2:2 + Mv] = np.arange(Mv)
+    base = {"input_ids": ids, "attention_mask": np.ones((1, N), np.int64),
+            "vision_indices": vi, "img_start": np.asarray([2], np.int32)}
+    g = Generator(params, cfg, vq_params=vq_params, vq_cfg=vq_cfg)
+    gen = GenerationConfig(max_new_tokens=4, eos_token_id=-1)
+    res_u8 = g(dict(base, pixels=u8), gen)
+    res_f32 = g(dict(base, pixels=f32), gen)
+    np.testing.assert_array_equal(np.asarray(res_u8.sequences),
+                                  np.asarray(res_f32.sequences))

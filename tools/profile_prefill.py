@@ -31,7 +31,8 @@ vq_params = jax.device_put(jax.tree_util.tree_map(
                                               vq_cfg))))
 ids, mask, vi, _ = _example_batch(cfg, B=B, text_len=text_len)
 img_start = np.full((B,), 8, np.int32)
-pixels = np.random.RandomState(0).randn(B, 336, 336, 3).astype(np.float32)
+pixels = np.random.RandomState(0).randint(
+    0, 256, size=(B, 336, 336, 3)).astype(np.uint8)
 inputs = {"input_ids": ids, "attention_mask": mask, "vision_indices": vi,
           "pixels": pixels, "img_start": img_start}
 g = Generator(params, cfg, vq_params=vq_params, vq_cfg=vq_cfg)
