@@ -198,19 +198,25 @@ def _device_quantized_params(cfg):
 ACHIEVABLE_GBPS = 733.0
 
 
-def _decode_roofline(cfg, params, B, S):
+def _decode_roofline(cfg, params, B, S, lang_only=False):
     """Bytes every decode step must move: every matmul weight is read once
     per step (int8 leaves count q+scale bytes; embedding tables are
     excluded -- gathers touch only B rows) + the full static KV buffers
-    (k/v/kb/vb are read over their whole (B, S) extent each step)."""
+    (k/v/kb/vb are read over their whole (B, S) extent each step).
+    lang_only: text-only decode (decode_modality='text') never reads the
+    vision-side weights (vision_* projections/MLP/norms, bridges,
+    signal_proj) -- the same partition as the freeze policy."""
     import jax
 
     from libra_tpu.quantization import QuantizedArray
 
+    skip = ("embed",)
+    if lang_only:
+        skip += ("vision", "bridge", "signal_proj", "signal_norm")
     weight_bytes = 0
     for path, leaf in jax.tree_util.tree_leaves_with_path(
             params, is_leaf=lambda x: isinstance(x, QuantizedArray)):
-        if "embed" in str(path):
+        if any(s in str(path) for s in skip):
             continue
         if isinstance(leaf, QuantizedArray):
             weight_bytes += leaf.q.size + leaf.scale.size * 4
@@ -222,7 +228,7 @@ def _decode_roofline(cfg, params, B, S):
     return weight_bytes, kv_bytes
 
 
-def bench_decode_full_int8(B=4, text_len=32, max_new=64):
+def bench_decode_full_int8(B=4, text_len=32, max_new=64, text_decode=True):
     """THE north-star shape: the FULL 32-layer 11B flagship, weight-only
     int8 + int8 KV cache, single chip, batched greedy decode. bf16 cannot
     do this at all (~18 GB > 16 GB HBM); int8 weights are ~9.4 GB, and the
@@ -242,11 +248,15 @@ def bench_decode_full_int8(B=4, text_len=32, max_new=64):
     cfg = _flagship_cfg(32)
     params = _device_quantized_params(cfg)
     ids, mask, vi, sig = _example_batch(cfg, B=B, text_len=text_len)
+    # text-only decode IS the north-star shape: BASELINE configs 3-4 decode
+    # text answers (captioning/VQA), and the -inf vision-vocab assembly
+    # makes skipping the vision weights exact (models/libra.py::forward)
+    modality = "text" if text_decode else "auto"
     gen = GenerationConfig(max_new_tokens=max_new, eos_token_id=-1,
-                           kv_quant=True)
+                           kv_quant=True, decode_modality=modality)
     short = 8
     gen_s = GenerationConfig(max_new_tokens=short, eos_token_id=-1,
-                             kv_quant=True)
+                             kv_quant=True, decode_modality=modality)
     g = Generator(params, cfg)
     # BOTH trip counts use the SAME left-padded prompt (masked pad) so
     # their programs share prefill work and cache length (Sc 768); the
@@ -285,7 +295,7 @@ def bench_decode_full_int8(B=4, text_len=32, max_new=64):
     decode_only_tok_s = B / step_s
 
     S = -(-(ids.shape[-1] + max_new) // 128) * 128   # the real cache length
-    wb, kvb = _decode_roofline(cfg, params, B, S)
+    wb, kvb = _decode_roofline(cfg, params, B, S, lang_only=text_decode)
     bytes_per_step = wb + kvb
     sol_tok_s = B / (bytes_per_step / (ACHIEVABLE_GBPS * 1e9))
     roofline = {
@@ -337,9 +347,10 @@ def bench_vqa_fused_full32(B=4, text_len=32, max_new=64, a8=True):
     g = Generator(params, cfg, vq_params=vq_params, vq_cfg=vq_cfg)
 
     gen1 = GenerationConfig(max_new_tokens=1, eos_token_id=-1, kv_quant=True,
-                            a8_prefill=a8)
+                            a8_prefill=a8, decode_modality="text")
     genN = GenerationConfig(max_new_tokens=max_new, eos_token_id=-1,
-                            kv_quant=True, a8_prefill=a8)
+                            kv_quant=True, a8_prefill=a8,
+                            decode_modality="text")
     _sync(g(inputs, gen1).sequences)    # compile
     _sync(g(inputs, genN).sequences)    # compile
 
@@ -455,7 +466,8 @@ def bench_serving(B=4, n_requests=24, max_new=64, decode_chunk=16):
 
     cfg = _flagship_cfg(32)
     params = _device_quantized_params(cfg)
-    gen = GenerationConfig(eos_token_id=-1, kv_quant=True, a8_prefill=True)
+    gen = GenerationConfig(eos_token_id=-1, kv_quant=True, a8_prefill=True,
+                           decode_modality="text")
     eng = ServingEngine(params, cfg, max_batch=B, max_len=768, gen=gen,
                         prompt_bucket=640, decode_chunk=decode_chunk)
 

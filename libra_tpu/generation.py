@@ -51,6 +51,13 @@ class GenerationConfig:
     #   block makes the text width static). Exact -- language outputs at
     #   vision positions are discarded by the routing merge anyway.
     #   Auto-disabled in addition_mode (language path needed everywhere).
+    decode_modality: str = "auto"  # "auto" | "text". "text" = decode via
+    #   the language path ONLY (vision projections/MLP/embeds statically
+    #   skipped; ~half the weight bytes/step). EXACT for prompts that end
+    #   in text: assemble_logits -inf's the whole vision vocab (incl. BOI)
+    #   at text positions, so such a sequence can never re-enter vision.
+    #   The Generator validates the prompt-tail invariant host-side.
+    #   Use "auto" for image generation (t2i) prompts ending inside/at BOI.
 
 
 def _filter_top_k(logits: jax.Array, k: int) -> jax.Array:
@@ -97,12 +104,19 @@ class GenerateResult(NamedTuple):
 
 def _last_position_logits(params, cfg: LibraConfig, hidden: jax.Array,
                           flag_last: jax.Array, vi_last: jax.Array,
-                          h_up: Optional[jax.Array] = None):
+                          h_up: Optional[jax.Array] = None,
+                          lang_only: bool = False):
     """Combined-vocab logits for the last position of `hidden` (B, N, D).
-    h_up: (B, D) hidden from R-1 steps back (2D prediction mode only)."""
+    h_up: (B, D) hidden from R-1 steps back (2D prediction mode only).
+    lang_only statically skips the vision heads: assemble_logits -inf's the
+    vision slice at text positions regardless of its value, so zeros are
+    exact there."""
     h = hidden[:, -1:]
     tl = M.compute_text_logits(params, h)
-    if cfg.vision_prediction_mode == "2d":
+    if lang_only:
+        vl = jnp.zeros((cfg.vision_codebook_num,) + h.shape[:2]
+                       + (cfg.vision_vocab_size,), tl.dtype)
+    elif cfg.vision_prediction_mode == "2d":
         vl = M.compute_vision_logits_2d(params, cfg, h, vi_last[:, None],
                                         h_up=h_up[:, None])
     else:
@@ -217,6 +231,8 @@ def _generate_impl(params, input_ids, attention_mask, vision_indices,
     tokens = jnp.zeros((Q, B, S), input_ids.dtype).at[:, :, :N].set(input_ids)
     last_pos = base_last if cfg.use_2d_rope else pos[:, -1]
 
+    lang_only = gen.decode_modality == "text"
+
     def cond(state):
         t = state[0]
         finished = state[8]
@@ -256,10 +272,12 @@ def _generate_impl(params, input_ids, attention_mask, vision_indices,
 
         step = M.forward(params, cfg, next_tok[:, :, None], mask_buf,
                          vi_new[:, None], None,
-                         position_ids=pos_ids, cache=cache)
+                         position_ids=pos_ids, cache=cache,
+                         lang_only=lang_only)
         h_up = hist[:, 0]   # hidden from R-1 steps back
         logits = _last_position_logits(params, cfg, step.hidden_states,
-                                       vi_new < Mv, vi_new, h_up=h_up)
+                                       vi_new < Mv, vi_new, h_up=h_up,
+                                       lang_only=lang_only)
         new_hist = jnp.concatenate(
             [hist[:, 1:], step.hidden_states], axis=1) if is_2d else hist
         return (t + 1, tokens, mask_buf, step.cache, logits, vi_new,
@@ -343,6 +361,13 @@ class Generator:
         vi = jnp.asarray(inputs["vision_indices"])
         sig = inputs.get("coninous_signal")
         sig = None if sig is None else jnp.asarray(sig)
+        if gen.decode_modality == "text":
+            tail = np.asarray(inputs["vision_indices"])[:, -1]
+            if (tail < self.cfg.max_vision_token_length).any():
+                raise ValueError(
+                    "decode_modality='text' needs prompts ending in text "
+                    "(a prompt ending inside an image block would continue "
+                    "the image); got vision_indices tail %r" % (tail,))
         pixels = inputs.get("pixels")
         img_start = inputs.get("img_start")
         if pixels is not None:

@@ -279,18 +279,24 @@ def _write_cache(buf, new: jax.Array, layer_idx, index):
 def embed_inputs(params: Params, cfg: LibraConfig, input_ids: jax.Array,
                  vision_flag: jax.Array,
                  contiguous_signal: Optional[jax.Array],
-                 vision_indices: Optional[jax.Array]) -> jax.Array:
+                 vision_indices: Optional[jax.Array],
+                 lang_only: bool = False) -> jax.Array:
     """Multi-codebook embedding + continuous-signal fusion.
 
     Reference: get_inputs_embeds_from_multicodebook (modeling_libra.py:625-661)
     plus the id-offset strip at 746-751. input_ids: (Q, B, N) raw combined-vocab
     ids (vision ids carry the +vocab_size offset).
+
+    lang_only: statically skip the vision embed chain (per-codebook embeds,
+    vision pos-emb, signal_proj) -- see forward().
     """
     V, Vv = cfg.vocab_size, cfg.vision_vocab_size
     cd = cfg.compute_dtype
 
     text_ids = jnp.clip(input_ids[0], 0, V - 1)
     text_emb = params["embed_tokens"][text_ids].astype(cd)           # (B,N,D)
+    if lang_only:
+        return text_emb
 
     vis_ids = jnp.clip(input_ids - V, 0, Vv - 1)                     # (Q,B,N)
     # per-codebook embed, concat on features (modeling_libra.py:629-634)
@@ -392,8 +398,14 @@ def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
                cos, sin, position_ids, bias, kv_flag,
                cache_slice, attn_impl: str = "xla",
                dropout_rng: Optional[jax.Array] = None,
-               text_span=None) -> Tuple[jax.Array, Any]:
+               text_span=None, lang_only: bool = False) -> Tuple[jax.Array, Any]:
     """Routed attention with bridge. h is the (routed-)normed input.
+
+    lang_only (decode-only; requires a cache): statically skip the vision
+    q/k/v/o projections AND the bridge k/v computation+write for the new
+    tokens -- their cache slots are provably never read (the cross-modality
+    mask is zero for text-query/text-key pairs) while the PROMPT's bridge
+    K/V stay in the cache and are still read for text->vision attention.
 
     cache_slice: None (no cache) or {"bufs": dict of FULL STACKED cache
     buffers (the layer-scan carry), "layer": this layer's index, "index":
@@ -407,7 +419,14 @@ def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
     else:
         rng_attn = rng_o = None
 
+    if lang_only:
+        assert cache_slice is not None, \
+            "lang_only is a cached-decode mode (prompts need the full path)"
+
     def rproj(name):
+        if lang_only:
+            from libra_tpu.ops.qlinear import qdot
+            return qdot(h, a[name])
         vp = a["vision_" + name[0]]  # vision_q / vision_k / vision_v
         return routed_linear(h, flag, a[name], vp["wa"], vp["wb"], am,
                              text_span=text_span)
@@ -422,7 +441,7 @@ def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
     k = rope(k, cos, sin, position_ids)
 
     kb = vb = None
-    if cfg.use_bridge:
+    if cfg.use_bridge and not lang_only:
         kb = _split_heads(routed_low_rank(
             h, flag, a["k_bridge_lang"]["wa"], a["k_bridge_lang"]["wb"],
             a["k_bridge_vis"]["wa"], a["k_bridge_vis"]["wb"]), H)
@@ -466,8 +485,12 @@ def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
         new_cache = {"k": ck, "v": cv}
         ckb = cvb = None
         if cfg.use_bridge:
-            ckb = _write_cache(bufs["kb"], kb, li, idx)
-            cvb = _write_cache(bufs["vb"], vb, li, idx)
+            if lang_only:
+                # no write: the new slots' bridge K/V are never attended
+                ckb, cvb = bufs["kb"], bufs["vb"]
+            else:
+                ckb = _write_cache(bufs["kb"], kb, li, idx)
+                cvb = _write_cache(bufs["vb"], vb, li, idx)
             new_cache.update({"kb": ckb, "vb": cvb})
 
         from libra_tpu.ops.pallas import decode_attention as DA
@@ -509,6 +532,9 @@ def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
                                 flag, kv_flag, bias,
                                 dropout=(rng_attn, cfg.attn_pdrop))
     out = out.reshape(h.shape[0], h.shape[1], cfg.hidden_size)
+    if lang_only:
+        from libra_tpu.ops.qlinear import qdot
+        return qdot(out, a["o_proj"]), new_cache
     vo = a["vision_o"]
     out = routed_linear(out, flag, a["o_proj"], vo["wa"], vo["wb"], am,
                         dropout=(rng_o, cfg.resid_pdrop,
@@ -519,7 +545,7 @@ def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
 
 def _mlp(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
          dropout_rng: Optional[jax.Array] = None,
-         text_span=None) -> jax.Array:
+         text_span=None, lang_only: bool = False) -> jax.Array:
     """Routed SwiGLU MLP (reference: LibraMLP, modeling_libra.py:206-238).
     Note: LibraMLP routes strictly even in addition_mode (its forward never
     consults the flag's addition variant)."""
@@ -529,6 +555,11 @@ def _mlp(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
     def lang_mlp(x):
         return qdot(jax.nn.silu(qdot(x, m["gate_proj"]))
                     * qdot(x, m["up_proj"]), m["down_proj"])
+
+    if lang_only:
+        # text-only decode: the vision MLP (the largest vision-weight read,
+        # ~125M params/layer) is statically skipped
+        return lang_mlp(h)
 
     gate_v = low_rank_linear(h, m["vision_gate"]["wa"], m["vision_gate"]["wb"])
     up_v = low_rank_linear(h, m["vision_up"]["wa"], m["vision_up"]["wb"])
@@ -552,7 +583,7 @@ def decoder_layer(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
                   cos, sin, position_ids, bias, kv_flag,
                   cache_slice, attn_impl: str = "xla",
                   dropout_rng: Optional[jax.Array] = None,
-                  text_span=None) -> Tuple[jax.Array, Any]:
+                  text_span=None, lang_only: bool = False) -> Tuple[jax.Array, Any]:
     """One pre-norm decoder layer with separate vision RMSNorms
     (reference: LibraDecoderLayer, modeling_libra.py:416-491)."""
     eps = cfg.rms_norm_eps
@@ -560,19 +591,22 @@ def decoder_layer(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
         rng_attn, rng_mlp = jax.random.split(dropout_rng)
     else:
         rng_attn = rng_mlp = None
-    hn = select_by_flag(flag,
-                        rms_norm(h, p["vision_input_layernorm"], eps),
-                        rms_norm(h, p["input_layernorm"], eps))
+
+    def routed_norm(x, name):
+        if lang_only:
+            return rms_norm(x, p[name], eps)
+        return select_by_flag(flag, rms_norm(x, p["vision_" + name], eps),
+                              rms_norm(x, p[name], eps))
+
+    hn = routed_norm(h, "input_layernorm")
     attn_out, new_cache = _attention(p, cfg, hn, flag, cos, sin,
                                      position_ids, bias, kv_flag, cache_slice,
                                      attn_impl, dropout_rng=rng_attn,
-                                     text_span=text_span)
+                                     text_span=text_span, lang_only=lang_only)
     h = h + attn_out
-    hn2 = select_by_flag(flag,
-                         rms_norm(h, p["vision_post_attention_layernorm"], eps),
-                         rms_norm(h, p["post_attention_layernorm"], eps))
+    hn2 = routed_norm(h, "post_attention_layernorm")
     h = h + _mlp(p, cfg, hn2, flag, dropout_rng=rng_mlp,
-                 text_span=text_span)
+                 text_span=text_span, lang_only=lang_only)
     return h, new_cache
 
 
@@ -619,7 +653,7 @@ def forward(params: Params, cfg: LibraConfig, input_ids: jax.Array,
             remat: bool = False,
             attn_impl: str = "xla",
             dropout_rng: Optional[jax.Array] = None,
-            text_span=None) -> ModelOutput:
+            text_span=None, lang_only: bool = False) -> ModelOutput:
     """Backbone forward (reference: LibraModel.forward, modeling_libra.py:680-831).
 
     input_ids: (Q, B, N) combined-vocab ids.
@@ -629,13 +663,20 @@ def forward(params: Params, cfg: LibraConfig, input_ids: jax.Array,
     dropout_rng: per-step rng enabling train-time dropout at the reference's
       sites (embd/attn/resid and their vision_* twins); None = eval/decode
       (nn.Dropout identity).
+    lang_only: STATIC text-only decode mode (cached decode of prompts that
+      END in text). Vision projections/MLP/norms/embeds and new-token bridge
+      writes are skipped entirely -- EXACT, not approximate: assemble_logits
+      puts -inf on the whole vision vocab (incl. BOI) at text positions, so
+      a text-ending sequence can never re-enter vision during decode, and
+      every skipped computation fed only discarded where() branches. Halves
+      decode weight traffic for captioning/VQA serving (text answers).
     """
     flag = vision_indices < cfg.max_vision_token_length
     B, N = flag.shape
     if dropout_rng is not None and not dropout_enabled(cfg):
         dropout_rng = None       # all rates 0: skip the rng plumbing
     h = embed_inputs(params, cfg, input_ids, flag, contiguous_signal,
-                     vision_indices)
+                     vision_indices, lang_only=lang_only)
     if dropout_rng is not None:
         dropout_rng, rng_embd = jax.random.split(dropout_rng)
         # routed embedding dropout (reference: modeling_libra.py:767)
@@ -706,7 +747,8 @@ def forward(params: Params, cfg: LibraConfig, input_ids: jax.Array,
                                         cos, sin, position_ids, bias, kv_flag,
                                         cache_slice, attn_impl,
                                         dropout_rng=rng,
-                                        text_span=text_span)
+                                        text_span=text_span,
+                                        lang_only=lang_only)
         if cache is None:
             return new_h, None
         return (new_h, dict(bufs, **new_bufs)), None
@@ -732,9 +774,12 @@ def forward(params: Params, cfg: LibraConfig, input_ids: jax.Array,
             flag=kv_flag, index=cache.index + N)
 
     eps = cfg.rms_norm_eps
-    h = select_by_flag(flag,
-                       rms_norm(h, params["vision_norm"], eps),
-                       rms_norm(h, params["norm"], eps))
+    if lang_only:
+        h = rms_norm(h, params["norm"], eps)
+    else:
+        h = select_by_flag(flag,
+                           rms_norm(h, params["vision_norm"], eps),
+                           rms_norm(h, params["norm"], eps))
     return ModelOutput(hidden_states=h, cache=new_cache)
 
 

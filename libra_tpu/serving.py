@@ -283,6 +283,7 @@ class ServingEngine:
             cfg, gen = self.cfg, self.gen
             Mv = cfg.max_vision_token_length
             K = self.decode_chunk
+            lang_only = gen.decode_modality == "text"
 
             def step(params, carry):
                 (cache, mask_buf, last_logits, vi_last, pos_last, active,
@@ -314,11 +315,12 @@ class ServingEngine:
                     pos_ids = pos_new[:, None]
                 out = M.forward(params, cfg, tok[:, :, None],
                                 mask_buf, vi_new[:, None], None,
-                                position_ids=pos_ids, cache=cache)
+                                position_ids=pos_ids, cache=cache,
+                                lang_only=lang_only)
                 h_up = hist[:, 0]
                 logits = _last_position_logits(
                     params, cfg, out.hidden_states, vi_new < Mv,
-                    vi_new, h_up=h_up)
+                    vi_new, h_up=h_up, lang_only=lang_only)
                 new_hist = (jnp.concatenate(
                     [hist[:, 1:], out.hidden_states], axis=1)
                     if self._is_2d else hist)
@@ -351,6 +353,14 @@ class ServingEngine:
     def run(self, requests: List[Request]) -> List[Result]:
         cfg, gen, B, S = self.cfg, self.gen, self.B, self.S
         Q = cfg.vision_codebook_num
+        if gen.decode_modality == "text":
+            for r in requests:
+                if (np.asarray(r.vision_indices)[-1]
+                        < cfg.max_vision_token_length):
+                    raise ValueError(
+                        "decode_modality='text' needs prompts ending in "
+                        "text; request %r ends inside an image block"
+                        % (r.request_id,))
         queue = list(requests)
         results: List[Result] = []
         t0 = time.perf_counter()

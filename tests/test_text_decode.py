@@ -1,0 +1,139 @@
+"""Text-only decode (decode_modality='text') parity.
+
+assemble_logits puts -inf on the whole vision vocab (incl. BOI) at text
+positions, so a sequence whose prompt ends in text provably never re-enters
+vision during decode -- statically skipping the vision path must therefore
+reproduce the dual-path decode exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libra_tpu.config import LibraConfig
+from libra_tpu.generation import GenerationConfig, Generator
+from libra_tpu.models import libra as M
+
+
+def _prompt_with_image(cfg, B, text_len, seed=0):
+    Mv = cfg.max_vision_token_length
+    N = text_len + Mv
+    rs = np.random.RandomState(seed)
+    ids = rs.randint(3, cfg.vocab_size,
+                     size=(cfg.vision_codebook_num, B, N)).astype(np.int64)
+    vi = np.full((B, N), Mv, np.int64)
+    starts = [1 + b for b in range(B)]
+    for b, s in enumerate(starts):
+        vi[b, s:s + Mv] = np.arange(Mv)
+        ids[:, b, s:s + Mv] = rs.randint(
+            cfg.vocab_size, cfg.vocab_size + cfg.vision_vocab_size, size=Mv)
+    sig = rs.randn(B, N, cfg.contiguous_signal_size).astype(np.float32)
+    sig[vi >= Mv] = 0.0
+    return {"input_ids": ids, "attention_mask": np.ones((B, N), np.int64),
+            "vision_indices": vi, "coninous_signal": sig}
+
+
+def test_lang_only_decode_forward_matches_dense():
+    """One cached decode step on a text token: lang_only skips the vision
+    path but every skipped value fed only discarded where() branches."""
+    cfg = LibraConfig.tiny()
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    B, Mv = 2, cfg.max_vision_token_length
+    inp = _prompt_with_image(cfg, B, text_len=5)
+    N = inp["vision_indices"].shape[1]
+    S = N + 4
+
+    @jax.jit
+    def prefill():
+        cache = M.init_cache(cfg, B, S)
+        mask = jnp.zeros((B, S), jnp.int32).at[:, :N].set(
+            jnp.asarray(inp["attention_mask"], jnp.int32))
+        pos = M.position_ids_from_mask(jnp.asarray(inp["attention_mask"]))
+        out = M.forward(params, cfg, jnp.asarray(inp["input_ids"]), mask,
+                        jnp.asarray(inp["vision_indices"]),
+                        jnp.asarray(inp["coninous_signal"]),
+                        position_ids=pos, cache=cache)
+        return out.cache, mask
+
+    cache, mask = prefill()
+    tok = jnp.full((cfg.vision_codebook_num, B, 1), 7, jnp.int64)
+    vi = jnp.full((B, 1), Mv, jnp.int64)
+    mask = mask.at[:, N].set(1)
+    pos = jnp.full((B, 1), N, jnp.int32)
+
+    def step(lang_only):
+        out = M.forward(params, cfg, tok, mask, vi, None,
+                        position_ids=pos, cache=cache, lang_only=lang_only)
+        return out.hidden_states, M.compute_text_logits(
+            params, out.hidden_states)
+
+    h_d, tl_d = jax.jit(lambda: step(False))()
+    h_l, tl_l = jax.jit(lambda: step(True))()
+    np.testing.assert_allclose(np.asarray(h_l), np.asarray(h_d),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(tl_l), np.asarray(tl_d),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_generator_text_mode_matches_auto():
+    cfg = LibraConfig.tiny()
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    inp = _prompt_with_image(cfg, B=2, text_len=4, seed=1)
+    g = Generator(params, cfg)
+    auto = g(inp, GenerationConfig(max_new_tokens=6, eos_token_id=-1))
+    text = g(inp, GenerationConfig(max_new_tokens=6, eos_token_id=-1,
+                                   decode_modality="text"))
+    np.testing.assert_array_equal(np.asarray(text.sequences),
+                                  np.asarray(auto.sequences))
+    # text mode can never emit a vision-vocab token
+    new = np.asarray(text.sequences)[:, :, -6:]
+    assert (new < cfg.vocab_size).all()
+
+
+def test_text_mode_rejects_image_tail_prompt():
+    cfg = LibraConfig.tiny()
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    Mv = cfg.max_vision_token_length
+    B, N = 1, Mv + 2
+    ids = np.random.RandomState(0).randint(
+        3, cfg.vocab_size, size=(cfg.vision_codebook_num, B, N))
+    vi = np.full((B, N), Mv, np.int64)
+    vi[0, 2:] = np.arange(Mv)                # prompt ends INSIDE the image
+    inp = {"input_ids": ids, "attention_mask": np.ones((B, N), np.int64),
+           "vision_indices": vi,
+           "coninous_signal": np.zeros((B, N, cfg.contiguous_signal_size),
+                                       np.float32)}
+    g = Generator(params, cfg)
+    with pytest.raises(ValueError):
+        g(inp, GenerationConfig(max_new_tokens=2, eos_token_id=-1,
+                                decode_modality="text"))
+
+
+def test_serving_text_mode_matches_auto():
+    from libra_tpu.serving import Request, ServingEngine
+
+    cfg = LibraConfig.tiny()
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+
+    def make_reqs():
+        reqs = []
+        for i in range(3):
+            inp = _prompt_with_image(cfg, B=1, text_len=3 + i, seed=10 + i)
+            reqs.append(Request(
+                request_id=i, input_ids=np.asarray(inp["input_ids"][:, 0]),
+                vision_indices=np.asarray(inp["vision_indices"][0]),
+                contiguous_signal=np.asarray(inp["coninous_signal"][0]),
+                max_new_tokens=4))
+        return reqs
+
+    def run(modality):
+        eng = ServingEngine(
+            params, cfg, max_batch=2, max_len=48,
+            gen=GenerationConfig(eos_token_id=-1, decode_modality=modality),
+            decode_chunk=2)
+        return {r.request_id: np.asarray(r.tokens) for r in eng.run(make_reqs())}
+
+    auto, text = run("auto"), run("text")
+    assert auto.keys() == text.keys()
+    for k in auto:
+        np.testing.assert_array_equal(text[k], auto[k])
