@@ -483,7 +483,9 @@ def bench_serving(B=4, n_requests=24, max_new=64, decode_chunk=16):
                 max_new_tokens=max_new))
         return reqs
 
-    eng.run(make_reqs(B))                 # compile prefill + decode chunk
+    # warmup compiles the decode chunk AND every grouped-refill prefill
+    # size the timed run can hit (initial k=B, then k=2 and k=1 refills)
+    eng.run(make_reqs(2 * B - 1))
     reqs = make_reqs(n_requests)
     t0 = time.perf_counter()
     results = eng.run(reqs)

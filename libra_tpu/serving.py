@@ -122,6 +122,41 @@ def _merge_slot(cache: M.KVCache, piece: M.KVCache, slot) -> M.KVCache:
         index=jax.lax.dynamic_update_slice(cache.index, piece.index, (slot,)))
 
 
+def _slot_cache_many(cache: M.KVCache, slots, k: int) -> M.KVCache:
+    """B=k view of k slots (slots: traced (k,) indices), indices reset to 0.
+    k is STATIC: the gather is k chained one-row dynamic slices."""
+    parts = [_slot_cache(cache, slots[i]) for i in range(k)]
+
+    def cat(get, axis):
+        if get(parts[0]) is None:
+            return None
+        from libra_tpu.quantization import QuantizedArray
+        if isinstance(get(parts[0]), QuantizedArray):
+            return QuantizedArray(
+                jnp.concatenate([get(p).q for p in parts], axis=axis),
+                jnp.concatenate([get(p).scale for p in parts], axis=axis))
+        return jnp.concatenate([get(p) for p in parts], axis=axis)
+
+    return M.KVCache(
+        k=cat(lambda c: c.k, 1), v=cat(lambda c: c.v, 1),
+        kb=cat(lambda c: c.kb, 1), vb=cat(lambda c: c.vb, 1),
+        flag=cat(lambda c: c.flag, 0), index=jnp.zeros((k,), jnp.int32))
+
+
+def _merge_slot_many(cache: M.KVCache, piece: M.KVCache, slots,
+                     k: int) -> M.KVCache:
+    """Scatter the k rows of a B=k piece back to their slots (chained
+    static one-row updates -- a vmapped write would transpose the pool)."""
+    for i in range(k):
+        one = M.KVCache(
+            k=_slice_dim(piece.k, i, 1), v=_slice_dim(piece.v, i, 1),
+            kb=_slice_dim(piece.kb, i, 1), vb=_slice_dim(piece.vb, i, 1),
+            flag=_slice_dim(piece.flag, i, 0),
+            index=jax.lax.dynamic_slice(piece.index, (i,), (1,)))
+        cache = _merge_slot(cache, one, slots[i])
+    return cache
+
+
 class ServingEngine:
     """Lockstep continuous batching over a recycling slot pool.
 
@@ -169,6 +204,11 @@ class ServingEngine:
         # has its S alignment; capacity only grows
         self.S = -(-max_len // 128) * 128 if self.gen.kv_quant else max_len
         self._prefill_fns: Dict[Any, Any] = {}
+        # grouped-refill sizes: powers of two up to max_batch, so the
+        # per-bucket prefill compile cache stays at log2(B)+1 programs
+        self._group_sizes = [1]
+        while self._group_sizes[-1] * 2 <= max_batch:
+            self._group_sizes.append(self._group_sizes[-1] * 2)
         self._decode_fn = None
         self._is_2d = cfg.vision_prediction_mode == "2d"
         self._Rb = max(cfg.image_feature_resolution - 1, 1)
@@ -189,18 +229,26 @@ class ServingEngine:
 
     # -- compiled pieces ----------------------------------------------------
 
-    def _prefill(self, N: int, has_pixels: bool = False):
-        """One compiled prefill per (prompt-length bucket, pixels?): one
-        request's prompt forward on a B=1 slice of the pool, written back
-        at the slot's positions [0, N). `pmask` carries the request's real
-        extent (zeros on the left bucket padding). With pixels, the
-        CLIP+VQGAN encode runs inside this program and its ids/signal are
-        scattered over the placeholder block at `img_start`."""
-        key = (N, has_pixels)
+    def _prefill(self, N: int, has_pixels: bool = False, k: int = 1):
+        """One compiled prefill per (prompt-length bucket, pixels?, group
+        size k): k same-bucket requests' prompt forward as ONE B=k program,
+        written back at their k slots' positions [0, N). Grouped refills
+        amortize the per-request prefill latency (the prompt pass is
+        compute-bound, so B=k costs far less than k dispatches) -- group
+        sizes are restricted to powers of two (self._group_sizes) to bound
+        the compile cache. `pmask` carries each request's real extent
+        (zeros on the left bucket padding). With pixels, the CLIP+VQGAN
+        encode runs inside this program and its ids/signal are scattered
+        over the placeholder blocks at `img_start`. Slot-side state
+        (logits/vi/pos/hist rows) updates ON DEVICE: the host's previous
+        4-per-refill eager `.at[]` updates were 4 extra ~27 ms dispatches
+        through the remote-TPU tunnel."""
+        key = (N, has_pixels, k)
         if key not in self._prefill_fns:
             cfg = self.cfg
 
-            def f(params, cache, mask_buf, ids, vi, sig, pmask, slot,
+            def f(params, cache, mask_buf, logits_buf, vi_buf, pos_buf,
+                  hist_buf, ids, vi, sig, pmask, slots,
                   vq_params=None, pixels=None, img_start=None):
                 if has_pixels:
                     from libra_tpu.training.fused import (
@@ -212,11 +260,11 @@ class ServingEngine:
                                    in_axes=(0, 0, None))(ids, img_ids,
                                                          img_start)
                     sig = jax.vmap(_scatter_block)(
-                        jnp.zeros((1, N, img_sig.shape[-1]), img_sig.dtype),
+                        jnp.zeros((k, N, img_sig.shape[-1]), img_sig.dtype),
                         img_sig, img_start)
-                piece = _slot_cache(cache, slot)
+                piece = _slot_cache_many(cache, slots, k)
                 S = piece.flag.shape[1]
-                row = jnp.zeros((1, S), jnp.int32).at[:, :N].set(pmask)
+                row = jnp.zeros((k, S), jnp.int32).at[:, :N].set(pmask)
                 if cfg.use_2d_rope:
                     pos = M.get_2d_position_ids(cfg, vi, pmask)
                     offset_tab = M.make_2d_pos_offset(cfg)
@@ -251,25 +299,41 @@ class ServingEngine:
                         # read in degenerate prompts
                         h = jnp.pad(h, ((0, 0), (self._Rb - h.shape[1], 0),
                                         (0, 0)))
-                    hist = h[:, -self._Rb:]
+                    h_rows = h[:, -self._Rb:]
                     idx = max(h.shape[1] - 1 - self._Rb, 0)
                     h_up = h[:, idx]
                 else:
-                    hist = jnp.zeros(
-                        (1, self._Rb, out.hidden_states.shape[-1]),
+                    h_rows = jnp.zeros(
+                        (k, self._Rb, out.hidden_states.shape[-1]),
                         out.hidden_states.dtype)
-                    h_up = hist[:, 0]
+                    h_up = h_rows[:, 0]
                 logits = _last_position_logits(
                     params, cfg, out.hidden_states, flag_last, vi[:, -1],
                     h_up=h_up)
-                mask_buf = jax.lax.dynamic_update_slice_in_dim(
-                    mask_buf, row, slot, axis=0)
-                return _merge_slot(cache, out.cache, slot), mask_buf, \
-                    logits, base_last, hist
+                dus = jax.lax.dynamic_update_slice
+                for i in range(k):
+                    s_i = slots[i]
+                    mask_buf = jax.lax.dynamic_update_slice_in_dim(
+                        mask_buf, row[i:i + 1], s_i, axis=0)
+                    logits_buf = dus(
+                        logits_buf, logits[:, i:i + 1].astype(
+                            logits_buf.dtype), (0, s_i, 0))
+                    vi_buf = dus(vi_buf,
+                                 vi[i:i + 1, -1].astype(vi_buf.dtype), (s_i,))
+                    pos_buf = dus(pos_buf,
+                                  base_last[i:i + 1].astype(pos_buf.dtype),
+                                  (s_i,))
+                    hist_buf = jax.lax.dynamic_update_slice_in_dim(
+                        hist_buf, h_rows[i:i + 1].astype(hist_buf.dtype),
+                        s_i, axis=0)
+                cache = _merge_slot_many(cache, out.cache, slots, k)
+                return (cache, mask_buf, logits_buf, vi_buf, pos_buf,
+                        hist_buf)
 
-            # donate the pooled cache + mask so prefill updates them in
-            # place instead of copying ~1.6 GB of buffers per request
-            self._prefill_fns[key] = jax.jit(f, donate_argnums=(1, 2))
+            # donate every carried buffer: prefill updates the ~1.6 GB
+            # pooled cache and the slot-state rows in place
+            self._prefill_fns[key] = jax.jit(
+                f, donate_argnums=(1, 2, 3, 4, 5, 6))
         return self._prefill_fns[key]
 
     def _decode(self):
@@ -384,13 +448,14 @@ class ServingEngine:
             return n if b <= 1 else -(-n // b) * b
 
         def try_fill(limit: Optional[int] = None):
+            """Fill free slots from the queue. Each iteration prefills a
+            GROUP of up-to-len(free) head-of-queue requests that share a
+            (prompt bucket, pixels?) program shape, as one B=k dispatch
+            (k restricted to self._group_sizes). `limit` bounds the number
+            of prefill DISPATCHES (1 while slots are decoding)."""
             nonlocal cache, mask_buf, logits, vi_last, pos_last, hist
-            filled = 0
-            for slot in range(B):
-                if active[slot]:
-                    continue
-                if limit is not None and filled >= limit:
-                    return
+            dispatches = 0
+            while True:
                 while queue:
                     req = queue[0]
                     if bucketed(req.input_ids.shape[-1]) \
@@ -401,53 +466,75 @@ class ServingEngine:
                     results.append(Result(req.request_id,
                                           np.zeros((Q, 0), np.int64),
                                           "capacity"))
-                if not queue:
+                free = [s for s in range(B) if not active[s]]
+                if not queue or not free:
                     return
-                req = queue.pop(0)
-                N = req.input_ids.shape[-1]
-                Nb = bucketed(N)
-                pad = Nb - N
-                ids = np.pad(np.asarray(req.input_ids),
-                             ((0, 0), (pad, 0)),
-                             constant_values=gen.pad_token_id)
-                vi = np.pad(np.asarray(req.vision_indices), ((pad, 0),),
-                            constant_values=cfg.max_vision_token_length)
-                pmask = np.zeros((1, Nb), np.int32)
-                pmask[:, pad:] = 1
-                has_px = req.pixels is not None
+                if limit is not None and dispatches >= limit:
+                    return
+                head = queue[0]
+                Nb = bucketed(head.input_ids.shape[-1])
+                has_px = head.pixels is not None
                 if has_px and self.vq_params is None:
                     raise ValueError("pixels requests need vq_params/vq_cfg")
+                group = [head]
+                for r in queue[1:]:
+                    if (len(group) >= len(free)
+                            or bucketed(r.input_ids.shape[-1]) != Nb
+                            or (r.pixels is not None) != has_px
+                            or Nb + r.max_new_tokens > S):
+                        break
+                    group.append(r)
+                k = max(g for g in self._group_sizes if g <= len(group))
+                group, slots = group[:k], free[:k]
+                del queue[:k]
+
+                ids_l, vi_l, sig_l, pm_l, px_l, st_l = [], [], [], [], [], []
+                for req in group:
+                    N = req.input_ids.shape[-1]
+                    pad = Nb - N
+                    ids_l.append(np.pad(np.asarray(req.input_ids),
+                                        ((0, 0), (pad, 0)),
+                                        constant_values=gen.pad_token_id))
+                    vi_l.append(np.pad(np.asarray(req.vision_indices),
+                                       ((pad, 0),),
+                                       constant_values=
+                                       cfg.max_vision_token_length))
+                    pm = np.zeros((Nb,), np.int32)
+                    pm[pad:] = 1
+                    pm_l.append(pm)
+                    if has_px:
+                        px_l.append(np.asarray(req.pixels))
+                        st_l.append(req.img_start + pad)
+                        sig_l.append(np.zeros(
+                            (Nb, cfg.contiguous_signal_size),
+                            np.float32))     # overwritten on device
+                    else:
+                        s = req.contiguous_signal
+                        s = (np.asarray(s, np.float32) if s is not None
+                             else np.zeros((N, cfg.contiguous_signal_size),
+                                           np.float32))
+                        sig_l.append(np.pad(s, ((pad, 0), (0, 0))))
                 extra = ()
                 if has_px:
-                    extra = (self.vq_params,
-                             jnp.asarray(req.pixels)[None],
-                             jnp.asarray([req.img_start + pad], jnp.int32))
-                    sig = np.zeros((1, Nb, cfg.contiguous_signal_size),
-                                   np.float32)   # overwritten on device
-                else:
-                    sig = req.contiguous_signal
-                    sig = (np.asarray(sig, np.float32)
-                           if sig is not None else
-                           np.zeros((N, cfg.contiguous_signal_size),
-                                    np.float32))
-                    sig = np.pad(sig, ((pad, 0), (0, 0)))[None]
+                    extra = (self.vq_params, jnp.asarray(np.stack(px_l)),
+                             jnp.asarray(st_l, jnp.int32))
                 with self._qk_ctx():
-                    cache, mask_buf, lg, p_last, h = \
-                        self._prefill(Nb, has_px)(
-                            self.params, cache, mask_buf,
-                            jnp.asarray(ids)[:, None],
-                            jnp.asarray(vi)[None], jnp.asarray(sig),
-                            jnp.asarray(pmask), slot, *extra)
-                logits = logits.at[:, slot].set(lg[:, 0])
-                vi_last = vi_last.at[slot].set(int(req.vision_indices[-1]))
-                pos_last = pos_last.at[slot].set(p_last[0])
-                hist = hist.at[slot].set(h[0].astype(hist.dtype))
-                active[slot] = True
-                budget[slot] = req.max_new_tokens
-                slot_req[slot] = req
-                slot_toks[slot] = []
-                slot_ttft[slot] = None
-                filled += 1
+                    (cache, mask_buf, logits, vi_last, pos_last, hist) = \
+                        self._prefill(Nb, has_px, k)(
+                            self.params, cache, mask_buf, logits, vi_last,
+                            pos_last, hist,
+                            jnp.asarray(np.stack(ids_l, axis=1)),
+                            jnp.asarray(np.stack(vi_l)),
+                            jnp.asarray(np.stack(sig_l)),
+                            jnp.asarray(np.stack(pm_l)),
+                            jnp.asarray(slots, jnp.int32), *extra)
+                for i, slot in enumerate(slots):
+                    active[slot] = True
+                    budget[slot] = group[i].max_new_tokens
+                    slot_req[slot] = group[i]
+                    slot_toks[slot] = []
+                    slot_ttft[slot] = None
+                dispatches += 1
 
         def finish(slot, reason):
             req = slot_req[slot]

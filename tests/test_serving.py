@@ -125,7 +125,7 @@ def test_engine_prompt_bucketing(tiny):
     eng = ServingEngine(params, cfg, max_batch=2, max_len=64, gen=gen,
                         prompt_bucket=8)
     results = eng.run([r for r, _ in pairs])
-    assert all(n % 8 == 0 for n, _ in eng._prefill_fns)
+    assert all(n % 8 == 0 for n, _, _ in eng._prefill_fns)
     lengths = {r.input_ids.shape[-1] for r, _ in pairs}
     assert len(eng._prefill_fns) < len(lengths)   # cache actually bounded
     _check_parity(results, pairs, params, cfg)
