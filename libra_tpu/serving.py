@@ -1,7 +1,7 @@
 """Continuous-batching serving engine (net-new vs the reference, which
 serves one static batch per `generate()` call).
 
-v3 design (TPU-first): a fixed pool of `max_batch` slots, each owning an
+v4 design (TPU-first): a fixed pool of `max_batch` slots, each owning an
 INDEPENDENT per-slot timeline of the pooled KV cache (k/v buffers are
 (L, B, max_len, H, d) -- int8 head-major (L, B, H, max_len, d) -- with a
 (B,) write-index vector: KVCache's per-slot mode). A finished slot is
@@ -14,8 +14,10 @@ unbounded; the only capacity rule is per-request: prompt_len +
 max_new_tokens <= max_len.
 
 Two compiled programs:
-  * `_prefill` (per prompt-length bucket, one request on a B=1 slice of the
-    pool). Requests may carry raw `pixels` + `img_start`: the CLIP+VQGAN
+  * `_prefill` (per prompt-length bucket x group size k): a GROUP of up to
+    max_batch same-bucket requests prefill as one B=k dispatch into their k
+    slots (v4 -- grouped refills; slot-state rows update on device).
+    Requests may carry raw `pixels` + `img_start`: the CLIP+VQGAN
     encode then runs INSIDE the prefill program and its ids/signal are
     scattered on-device (the Generator's fused path,
     tokenization_libra.py:250-294 semantics) -- VQA requests arrive as
@@ -248,11 +250,20 @@ class ServingEngine:
             cfg = self.cfg
 
             def f(params, cache, mask_buf, logits_buf, vi_buf, pos_buf,
-                  hist_buf, ids, vi, sig, pmask, slots,
-                  vq_params=None, pixels=None, img_start=None):
+                  hist_buf, reqs, slots, vq_params=None):
+                # reqs: tuple of k per-request dicts, PRE-STAGED on device
+                # at enqueue time (async device_put overlapping the decode
+                # chunks) -- stacking happens inside the program, so the
+                # refill dispatch never waits on host->device staging
+                ids = jnp.stack([r["ids"] for r in reqs], axis=1)
+                vi = jnp.stack([r["vi"] for r in reqs])
+                pmask = jnp.stack([r["pm"] for r in reqs])
+                img_start = None
                 if has_pixels:
                     from libra_tpu.training.fused import (
                         _scatter_block, encode_images_to_tokens)
+                    pixels = jnp.stack([r["px"] for r in reqs])
+                    img_start = jnp.stack([r["st"] for r in reqs])
                     img_ids, img_sig = encode_images_to_tokens(
                         vq_params, self.vq_cfg, cfg, pixels)
                     ids = jax.vmap(jax.vmap(_scatter_block,
@@ -262,6 +273,8 @@ class ServingEngine:
                     sig = jax.vmap(_scatter_block)(
                         jnp.zeros((k, N, img_sig.shape[-1]), img_sig.dtype),
                         img_sig, img_start)
+                else:
+                    sig = jnp.stack([r["sig"] for r in reqs])
                 piece = _slot_cache_many(cache, slots, k)
                 S = piece.flag.shape[1]
                 row = jnp.zeros((k, S), jnp.int32).at[:, :N].set(pmask)
@@ -447,6 +460,39 @@ class ServingEngine:
             b = self.prompt_bucket
             return n if b <= 1 else -(-n // b) * b
 
+        staged: Dict[int, Any] = {}
+
+        def stage(req):
+            """Pad one request's arrays to its bucket and device_put them.
+            device_put is ASYNC: called ahead of need (prestage), the
+            host->device copies overlap the decode chunks instead of
+            serialising in front of the grouped refill dispatch (through a
+            remote-TPU tunnel that staging is hundreds of ms per wave)."""
+            n = req.input_ids.shape[-1]
+            pad = bucketed(n) - n
+            pm = np.zeros((bucketed(n),), np.int32)
+            pm[pad:] = 1
+            d = {"ids": np.pad(np.asarray(req.input_ids), ((0, 0), (pad, 0)),
+                               constant_values=gen.pad_token_id),
+                 "vi": np.pad(np.asarray(req.vision_indices), ((pad, 0),),
+                              constant_values=cfg.max_vision_token_length),
+                 "pm": pm}
+            if req.pixels is not None:
+                d["px"] = np.asarray(req.pixels)
+                d["st"] = np.int32(req.img_start + pad)
+            else:
+                s = req.contiguous_signal
+                s = (np.asarray(s, np.float32) if s is not None
+                     else np.zeros((n, cfg.contiguous_signal_size),
+                                   np.float32))
+                d["sig"] = np.pad(s, ((pad, 0), (0, 0)))
+            return jax.device_put(d)
+
+        def prestage():
+            for r in queue[:2 * B]:
+                if r.request_id not in staged:
+                    staged[r.request_id] = stage(r)
+
         def try_fill(limit: Optional[int] = None):
             """Fill free slots from the queue. Each iteration prefills a
             GROUP of up-to-len(free) head-of-queue requests that share a
@@ -463,6 +509,7 @@ class ServingEngine:
                         break
                     # can never fit any slot: reject up front
                     queue.pop(0)
+                    staged.pop(req.request_id, None)
                     results.append(Result(req.request_id,
                                           np.zeros((Q, 0), np.int64),
                                           "capacity"))
@@ -488,45 +535,14 @@ class ServingEngine:
                 group, slots = group[:k], free[:k]
                 del queue[:k]
 
-                ids_l, vi_l, sig_l, pm_l, px_l, st_l = [], [], [], [], [], []
-                for req in group:
-                    N = req.input_ids.shape[-1]
-                    pad = Nb - N
-                    ids_l.append(np.pad(np.asarray(req.input_ids),
-                                        ((0, 0), (pad, 0)),
-                                        constant_values=gen.pad_token_id))
-                    vi_l.append(np.pad(np.asarray(req.vision_indices),
-                                       ((pad, 0),),
-                                       constant_values=
-                                       cfg.max_vision_token_length))
-                    pm = np.zeros((Nb,), np.int32)
-                    pm[pad:] = 1
-                    pm_l.append(pm)
-                    if has_px:
-                        px_l.append(np.asarray(req.pixels))
-                        st_l.append(req.img_start + pad)
-                        sig_l.append(np.zeros(
-                            (Nb, cfg.contiguous_signal_size),
-                            np.float32))     # overwritten on device
-                    else:
-                        s = req.contiguous_signal
-                        s = (np.asarray(s, np.float32) if s is not None
-                             else np.zeros((N, cfg.contiguous_signal_size),
-                                           np.float32))
-                        sig_l.append(np.pad(s, ((pad, 0), (0, 0))))
-                extra = ()
-                if has_px:
-                    extra = (self.vq_params, jnp.asarray(np.stack(px_l)),
-                             jnp.asarray(st_l, jnp.int32))
+                reqs = tuple(staged.pop(r.request_id, None) or stage(r)
+                             for r in group)
+                extra = (self.vq_params,) if has_px else ()
                 with self._qk_ctx():
                     (cache, mask_buf, logits, vi_last, pos_last, hist) = \
                         self._prefill(Nb, has_px, k)(
                             self.params, cache, mask_buf, logits, vi_last,
-                            pos_last, hist,
-                            jnp.asarray(np.stack(ids_l, axis=1)),
-                            jnp.asarray(np.stack(vi_l)),
-                            jnp.asarray(np.stack(sig_l)),
-                            jnp.asarray(np.stack(pm_l)),
+                            pos_last, hist, reqs,
                             jnp.asarray(slots, jnp.int32), *extra)
                 for i, slot in enumerate(slots):
                     active[slot] = True
@@ -546,6 +562,7 @@ class ServingEngine:
             budget[slot] = 0
             slot_req[slot] = None
 
+        prestage()
         try_fill()
         while active.any():
             rng, step_rng = jax.random.split(rng)
@@ -555,6 +572,10 @@ class ServingEngine:
                     self.params, cache, mask_buf, logits, vi_last, pos_last,
                     jnp.asarray(active), jnp.asarray(budget), hist,
                     step_rng)
+            # stage upcoming requests WHILE the decode chunk runs: the
+            # np.asarray readback below blocks anyway, so the copies ride
+            # along for free
+            prestage()
             toks_np = np.asarray(toks)                  # (K, Q, B)
             acts_np = np.asarray(acts)                  # (K, B)
             t_now = time.perf_counter()
