@@ -251,7 +251,7 @@ def bench_decode_full_int8(B=4, text_len=32, max_new=64, text_decode=True):
     # text-only decode IS the north-star shape: BASELINE configs 3-4 decode
     # text answers (captioning/VQA), and the -inf vision-vocab assembly
     # makes skipping the vision weights exact (models/libra.py::forward)
-    modality = "text" if text_decode else "auto"
+    modality = "text" if text_decode else "dual"
     gen = GenerationConfig(max_new_tokens=max_new, eos_token_id=-1,
                            kv_quant=True, decode_modality=modality)
     short = 8

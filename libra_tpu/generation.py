@@ -17,6 +17,7 @@ demo: padding_side='left').
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from dataclasses import dataclass
 from typing import Any, Dict, NamedTuple, Optional, Tuple
@@ -51,13 +52,18 @@ class GenerationConfig:
     #   block makes the text width static). Exact -- language outputs at
     #   vision positions are discarded by the routing merge anyway.
     #   Auto-disabled in addition_mode (language path needed everywhere).
-    decode_modality: str = "auto"  # "auto" | "text". "text" = decode via
-    #   the language path ONLY (vision projections/MLP/embeds statically
-    #   skipped; ~half the weight bytes/step). EXACT for prompts that end
-    #   in text: assemble_logits -inf's the whole vision vocab (incl. BOI)
-    #   at text positions, so such a sequence can never re-enter vision.
-    #   The Generator validates the prompt-tail invariant host-side.
-    #   Use "auto" for image generation (t2i) prompts ending inside/at BOI.
+    decode_modality: str = "auto"  # "auto" | "text" | "dual".
+    #   "text" = decode via the language path ONLY (vision projections/MLP/
+    #   embeds statically skipped; ~half the weight bytes/step). EXACT for
+    #   prompts that end in text: assemble_logits -inf's the whole vision
+    #   vocab (incl. BOI) at text positions, so such a sequence can never
+    #   re-enter vision. The Generator validates the prompt-tail invariant
+    #   host-side. "dual" = both paths every step (needed for t2i prompts
+    #   ending inside/at BOI). "auto" = the Generator picks per call batch
+    #   (host-side tail check; the resolved value keys the compile cache);
+    #   the ServingEngine decodes a whole request stream through ONE shared
+    #   program, so it treats "auto" as "dual" -- pass "text" explicitly
+    #   for text-serving deployments.
 
 
 def _filter_top_k(logits: jax.Array, k: int) -> jax.Array:
@@ -361,13 +367,21 @@ class Generator:
         vi = jnp.asarray(inputs["vision_indices"])
         sig = inputs.get("coninous_signal")
         sig = None if sig is None else jnp.asarray(sig)
-        if gen.decode_modality == "text":
-            tail = np.asarray(inputs["vision_indices"])[:, -1]
-            if (tail < self.cfg.max_vision_token_length).any():
-                raise ValueError(
-                    "decode_modality='text' needs prompts ending in text "
-                    "(a prompt ending inside an image block would continue "
-                    "the image); got vision_indices tail %r" % (tail,))
+        tail = np.asarray(inputs["vision_indices"])[:, -1]
+        ends_in_text = bool(
+            (tail >= self.cfg.max_vision_token_length).all())
+        if gen.decode_modality == "auto":
+            # resolve host-side: all prompts end in text -> the lang-only
+            # decode body (exact there, ~half the weight bytes/step); any
+            # prompt ending inside an image block -> dual-path. The
+            # resolved value keys the compile cache.
+            gen = dataclasses.replace(
+                gen, decode_modality="text" if ends_in_text else "dual")
+        elif gen.decode_modality == "text" and not ends_in_text:
+            raise ValueError(
+                "decode_modality='text' needs prompts ending in text "
+                "(a prompt ending inside an image block would continue "
+                "the image); got vision_indices tail %r" % (tail,))
         pixels = inputs.get("pixels")
         img_start = inputs.get("img_start")
         if pixels is not None:

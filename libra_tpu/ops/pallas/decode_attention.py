@@ -75,6 +75,23 @@ def _head_block(H: int, S: int, d: int, n_buf: int) -> int:
     return 1
 
 
+def _cell_vmem_bytes(H: int, S: int, d: int, n_buf: int) -> int:
+    """Worst-case VMEM for one grid cell: the int8 KV blocks plus the FULL
+    (H, S) fp32 scale planes (unblocked by design, see the scale-block note
+    below), everything double-buffered by the pipeline."""
+    hb = _head_block(H, S, d, n_buf)
+    blocks = n_buf * hb * S * d          # int8 bytes
+    scales = n_buf * H * S * 4           # fp32 planes
+    return 2 * (blocks + scales)
+
+
+# Keep a cell comfortably inside the ~16 MB of VMEM (q/out/bias/flags and
+# compiler scratch ride on top). Flagship (H=32, d=128, bridged) passes up
+# to S=4096 -- beyond the reference's 2048 cap; longer caches fall back to
+# the XLA dequant path instead of a Mosaic VMEM failure at compile time.
+_MAX_CELL_VMEM = 12 * 1024 * 1024
+
+
 def _scores(q_h, k_ref, srow, h, inv_sqrt_d):
     k = k_ref[h].astype(jnp.bfloat16)                   # (S, d) contiguous
     s = jax.lax.dot_general(q_h, k, (((1,), (1,)), ((), ())),
@@ -236,5 +253,7 @@ def decode_kernel_applicable(cfg, cache_k, q_len: int) -> bool:
         return False
     if not isinstance(cache_k, QuantizedArray):
         return False
-    S = cache_k.q.shape[-2]
-    return S % 128 == 0 and cfg.head_dim % 128 == 0
+    H, S, d = cache_k.q.shape[-3:]
+    n_buf = 4 if cfg.use_bridge else 2
+    return (S % 128 == 0 and cfg.head_dim % 128 == 0
+            and _cell_vmem_bytes(H, S, d, n_buf) <= _MAX_CELL_VMEM)

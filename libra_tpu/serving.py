@@ -438,6 +438,14 @@ class ServingEngine:
                         "decode_modality='text' needs prompts ending in "
                         "text; request %r ends inside an image block"
                         % (r.request_id,))
+        if self.vq_params is None:
+            # validate up front: raising from inside the scheduling loop
+            # would discard every already-completed Result
+            for r in requests:
+                if r.pixels is not None:
+                    raise ValueError(
+                        "request %r carries pixels but the engine was "
+                        "built without vq_params/vq_cfg" % (r.request_id,))
         queue = list(requests)
         results: List[Result] = []
         t0 = time.perf_counter()
@@ -489,9 +497,15 @@ class ServingEngine:
             return jax.device_put(d)
 
         def prestage():
-            for r in queue[:2 * B]:
+            n = 0
+            for r in queue:
+                if n >= 2 * B:
+                    break
+                if bucketed(r.input_ids.shape[-1]) + r.max_new_tokens > S:
+                    continue    # try_fill will reject it; don't ship bytes
                 if r.request_id not in staged:
                     staged[r.request_id] = stage(r)
+                n += 1
 
         def try_fill(limit: Optional[int] = None):
             """Fill free slots from the queue. Each iteration prefills a

@@ -250,6 +250,19 @@ def test_model_decode_kernel_wiring_matches_xla(monkeypatch):
     assert not DA.decode_kernel_applicable(tiny, tcache.k[0], 1)
     bcache = M.init_cache(cfg, B, 100, quantized=True)
     assert not DA.decode_kernel_applicable(cfg, bcache.k[0], 1)
+    # long-context VMEM gate: a cache whose per-cell working set (int8
+    # blocks + full (H, S) fp32 scale planes, double-buffered) exceeds the
+    # budget must fall back to the XLA path instead of failing in Mosaic
+    from libra_tpu.quantization import QuantizedArray
+    H, d = cfg.num_attention_heads, cfg.head_dim
+    long_k = QuantizedArray(
+        jax.ShapeDtypeStruct((1, H, 16384, d), jnp.int8),
+        jax.ShapeDtypeStruct((1, H, 16384), jnp.float32))
+    assert not DA.decode_kernel_applicable(cfg, long_k, 1)
+    ok_k = QuantizedArray(
+        jax.ShapeDtypeStruct((1, H, 2048, d), jnp.int8),
+        jax.ShapeDtypeStruct((1, H, 2048), jnp.float32))
+    assert DA.decode_kernel_applicable(cfg, ok_k, 1)
 
 
 def test_low_rank_pair_padding_exact():

@@ -285,3 +285,24 @@ def test_engine_2d_short_prompt_ring(tiny):
         GenerationConfig(max_new_tokens=4, eos_token_id=-1))
     np.testing.assert_array_equal(
         res.tokens, np.asarray(want.sequences)[:, 0, 2:])
+
+
+def test_engine_pixels_without_vq_params_rejected_up_front(tiny):
+    """An engine built without vq_params must reject a pixels request at
+    run() ENTRY: raising mid-stream from the scheduling loop would discard
+    every already-completed Result (r3 review finding)."""
+    cfg, params = tiny
+    pairs = _requests(cfg, 1)
+    ok_req, _ = pairs[0]
+    px = Request(request_id=9,
+                 input_ids=ok_req.input_ids,
+                 vision_indices=ok_req.vision_indices,
+                 pixels=np.zeros((3, 8, 8), np.float32), img_start=1,
+                 max_new_tokens=2)
+    eng = ServingEngine(params, cfg, max_batch=1, max_len=64,
+                        gen=GenerationConfig(eos_token_id=-1))
+    # pixels request LAST: the up-front check must still fire before any
+    # prefill/decode work happens on the valid head-of-queue request
+    with pytest.raises(ValueError, match="vq_params"):
+        eng.run([ok_req, px])
+    assert eng._prefill_fns == {}    # no work started before the raise

@@ -75,19 +75,57 @@ def test_lang_only_decode_forward_matches_dense():
                                rtol=2e-5, atol=2e-5)
 
 
-def test_generator_text_mode_matches_auto():
+def test_generator_text_mode_matches_dual():
     cfg = LibraConfig.tiny()
     params = M.init_params(jax.random.PRNGKey(0), cfg)
     inp = _prompt_with_image(cfg, B=2, text_len=4, seed=1)
     g = Generator(params, cfg)
-    auto = g(inp, GenerationConfig(max_new_tokens=6, eos_token_id=-1))
+    dual = g(inp, GenerationConfig(max_new_tokens=6, eos_token_id=-1,
+                                   decode_modality="dual"))
     text = g(inp, GenerationConfig(max_new_tokens=6, eos_token_id=-1,
                                    decode_modality="text"))
     np.testing.assert_array_equal(np.asarray(text.sequences),
-                                  np.asarray(auto.sequences))
+                                  np.asarray(dual.sequences))
     # text mode can never emit a vision-vocab token
     new = np.asarray(text.sequences)[:, :, -6:]
     assert (new < cfg.vocab_size).all()
+
+
+def test_generator_auto_resolves_per_prompt_tail():
+    """decode_modality='auto' (the default, what pipeline.chat uses) picks
+    the lang-only decode body for text-ending prompts and the dual-path
+    body for prompts ending inside an image block -- resolved host-side,
+    keyed into the compile cache."""
+    cfg = LibraConfig.tiny()
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    g = Generator(params, cfg)
+    gen = GenerationConfig(max_new_tokens=4, eos_token_id=-1)
+
+    text_inp = _prompt_with_image(cfg, B=1, text_len=4, seed=2)
+    res_auto = g(text_inp, gen)
+    assert [k.decode_modality for k in g._compiled] == ["text"]
+    res_text = g(text_inp, GenerationConfig(
+        max_new_tokens=4, eos_token_id=-1, decode_modality="text"))
+    np.testing.assert_array_equal(np.asarray(res_auto.sequences),
+                                  np.asarray(res_text.sequences))
+
+    # t2i-shaped prompt: ends at BOI (inside the image block)
+    Mv = cfg.max_vision_token_length
+    B, N = 1, 5
+    rng = np.random.RandomState(3)
+    ids = rng.randint(3, cfg.vocab_size,
+                      size=(cfg.vision_codebook_num, B, N))
+    ids[:, :, -1] = cfg.vocab_size + cfg.vision_vocab_size - 2   # BOI
+    vi = np.full((B, N), Mv, np.int64)
+    vi[:, -1] = 0
+    t2i_inp = {"input_ids": ids, "attention_mask": np.ones((B, N), np.int64),
+               "vision_indices": vi,
+               "coninous_signal": np.zeros(
+                   (B, N, cfg.contiguous_signal_size), np.float32)}
+    res_t2i = g(t2i_inp, gen)
+    assert sorted(k.decode_modality for k in g._compiled) == ["dual", "text"]
+    new = np.asarray(res_t2i.sequences)[:, :, N:]
+    assert (new >= cfg.vocab_size).all()     # continues the image block
 
 
 def test_text_mode_rejects_image_tail_prompt():
