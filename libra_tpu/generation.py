@@ -59,11 +59,10 @@ class GenerationConfig:
     #   vocab (incl. BOI) at text positions, so such a sequence can never
     #   re-enter vision. The Generator validates the prompt-tail invariant
     #   host-side. "dual" = both paths every step (needed for t2i prompts
-    #   ending inside/at BOI). "auto" = the Generator picks per call batch
-    #   (host-side tail check; the resolved value keys the compile cache);
-    #   the ServingEngine decodes a whole request stream through ONE shared
-    #   program, so it treats "auto" as "dual" -- pass "text" explicitly
-    #   for text-serving deployments.
+    #   ending inside/at BOI). "auto" = resolve host-side: the Generator
+    #   per call batch, the ServingEngine per run() stream (every request
+    #   ending in text -> lang-only). The resolved value keys the
+    #   compile cache.
 
 
 def _filter_top_k(logits: jax.Array, k: int) -> jax.Array:

@@ -211,7 +211,7 @@ class ServingEngine:
         self._group_sizes = [1]
         while self._group_sizes[-1] * 2 <= max_batch:
             self._group_sizes.append(self._group_sizes[-1] * 2)
-        self._decode_fn = None
+        self._decode_fns: Dict[bool, Any] = {}   # keyed on lang_only
         self._is_2d = cfg.vision_prediction_mode == "2d"
         self._Rb = max(cfg.image_feature_resolution - 1, 1)
         # the Pallas int8 kernel is opaque to GSPMD: under a TP mesh the
@@ -349,18 +349,21 @@ class ServingEngine:
                 f, donate_argnums=(1, 2, 3, 4, 5, 6))
         return self._prefill_fns[key]
 
-    def _decode(self):
+    def _decode(self, lang_only: bool):
         """`decode_chunk` lockstep single-token steps in one dispatch
         (lax.scan). Per-slot cache indices advance independently; inactive
         slots compute garbage that the host ignores (their stale cache
         rows are never attended after refill). Per-slot budgets decrement
         on device so active-flag transitions are reproducible host-side
-        from the returned (tokens, actives) alone."""
-        if self._decode_fn is None:
+        from the returned (tokens, actives) alone.
+
+        `lang_only` selects the text-only decode body (run() resolves it:
+        explicit decode_modality='text', or 'auto' with every request in
+        the stream ending in text)."""
+        if lang_only not in self._decode_fns:
             cfg, gen = self.cfg, self.gen
             Mv = cfg.max_vision_token_length
             K = self.decode_chunk
-            lang_only = gen.decode_modality == "text"
 
             def step(params, carry):
                 (cache, mask_buf, last_logits, vi_last, pos_last, active,
@@ -422,22 +425,29 @@ class ServingEngine:
             # donate every carried buffer (cache, mask, logits, vi, pos,
             # hist): the chunk updates them in place across dispatches --
             # without donation each chunk copied the full cache pool
-            self._decode_fn = jax.jit(f, donate_argnums=(1, 2, 3, 4, 5, 8))
-        return self._decode_fn
+            self._decode_fns[lang_only] = jax.jit(
+                f, donate_argnums=(1, 2, 3, 4, 5, 8))
+        return self._decode_fns[lang_only]
 
     # -- host-side scheduler -------------------------------------------------
 
     def run(self, requests: List[Request]) -> List[Result]:
         cfg, gen, B, S = self.cfg, self.gen, self.B, self.S
         Q = cfg.vision_codebook_num
+        tails_text = [np.asarray(r.vision_indices)[-1]
+                      >= cfg.max_vision_token_length for r in requests]
         if gen.decode_modality == "text":
-            for r in requests:
-                if (np.asarray(r.vision_indices)[-1]
-                        < cfg.max_vision_token_length):
+            for r, ok in zip(requests, tails_text):
+                if not ok:
                     raise ValueError(
                         "decode_modality='text' needs prompts ending in "
                         "text; request %r ends inside an image block"
                         % (r.request_id,))
+        # 'auto': the whole stream is known at entry -- if every request
+        # ends in text, this run's shared decode program can be the exact
+        # lang-only body (~half the weight bytes/step)
+        lang_only = (gen.decode_modality == "text"
+                     or (gen.decode_modality == "auto" and all(tails_text)))
         if self.vq_params is None:
             # validate up front: raising from inside the scheduling loop
             # would discard every already-completed Result
@@ -582,7 +592,7 @@ class ServingEngine:
             rng, step_rng = jax.random.split(rng)
             with self._qk_ctx():
                 (toks, acts, cache, mask_buf, logits, vi_last, pos_last,
-                 hist) = self._decode()(
+                 hist) = self._decode(lang_only)(
                     self.params, cache, mask_buf, logits, vi_last, pos_last,
                     jnp.asarray(active), jnp.asarray(budget), hist,
                     step_rng)

@@ -171,7 +171,16 @@ def test_serving_text_mode_matches_auto():
             decode_chunk=2)
         return {r.request_id: np.asarray(r.tokens) for r in eng.run(make_reqs())}
 
-    auto, text = run("auto"), run("text")
-    assert auto.keys() == text.keys()
-    for k in auto:
-        np.testing.assert_array_equal(text[k], auto[k])
+    dual, text = run("dual"), run("text")
+    assert dual.keys() == text.keys()
+    for k in dual:
+        np.testing.assert_array_equal(text[k], dual[k])
+
+    # 'auto' with an all-text-tail stream resolves to the lang-only body
+    eng = ServingEngine(
+        params, cfg, max_batch=2, max_len=48,
+        gen=GenerationConfig(eos_token_id=-1), decode_chunk=2)
+    out = {r.request_id: np.asarray(r.tokens) for r in eng.run(make_reqs())}
+    assert list(eng._decode_fns) == [True]
+    for k in dual:
+        np.testing.assert_array_equal(out[k], dual[k])
