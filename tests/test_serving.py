@@ -306,3 +306,36 @@ def test_engine_pixels_without_vq_params_rejected_up_front(tiny):
     with pytest.raises(ValueError, match="vq_params"):
         eng.run([ok_req, px])
     assert eng._prefill_fns == {}    # no work started before the raise
+
+
+def test_engine_t2i_request_generates_image_block(tiny):
+    """A t2i-shaped request (prompt ending at BOI) decodes through the
+    engine's dual-path body (auto-resolved for the stream) and matches the
+    Generator token-for-token, emitting vision-vocab tokens."""
+    cfg, params = tiny
+    Mv = cfg.max_vision_token_length
+    rng = np.random.RandomState(7)
+    N = 5
+    ids = rng.randint(3, cfg.vocab_size,
+                      size=(cfg.vision_codebook_num, 1, N)).astype(np.int64)
+    ids[:, :, -1] = cfg.vocab_size + cfg.vision_vocab_size - 2   # BOI
+    vi = np.full((1, N), Mv, np.int64)
+    vi[:, -1] = 0
+    sig = np.zeros((1, N, cfg.contiguous_signal_size), np.float32)
+    max_new = Mv - 1 + 2          # finish the block, cross EOI into text
+    req = Request(request_id=0, input_ids=ids[:, 0],
+                  vision_indices=vi[0], contiguous_signal=sig[0],
+                  max_new_tokens=max_new)
+    gen = GenerationConfig(eos_token_id=-1)
+    eng = ServingEngine(params, cfg, max_batch=1, max_len=64, gen=gen)
+    res = eng.run([req])[0]
+    assert list(eng._decode_fns) == [False]       # dual-path body
+
+    want = Generator(params, cfg)(
+        {"input_ids": ids, "attention_mask": np.ones((1, N), np.int64),
+         "vision_indices": vi, "coninous_signal": sig},
+        GenerationConfig(max_new_tokens=max_new, eos_token_id=-1))
+    want_toks = np.asarray(want.sequences)[:, 0, N:N + max_new]
+    np.testing.assert_array_equal(res.tokens, want_toks)
+    # the completed image block is vision-vocab; EOI is the block's last id
+    assert (res.tokens[:, :Mv - 1] >= cfg.vocab_size).all()
