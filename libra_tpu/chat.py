@@ -1,0 +1,277 @@
+"""Incremental multi-turn chat: KV-cache reuse across turns.
+
+The reference's multi-turn flow rebuilds the whole conversation string
+every turn and re-runs the full prompt through the model (demo notebook:
+re-render the v1 template, tokenization_libra.py:162-316, then the
+generate loop over the entire history). A ChatSession instead keeps the
+conversation's KV cache resident on device: each ask() prefills ONLY the
+new turn's tokens (bucketed delta) and decodes the answer in one jitted
+while_loop, so turn-k TTFT costs O(new tokens), not O(history). At the
+11B scale a 600-token history re-prefill is ~220 ms of device time; a
+32-token question delta is a small fraction of that.
+
+Exactness: a session's greedy tokens equal a fresh full-prompt Generator
+run over the SAME concatenated token history (tests/test_chat_session.py)
+-- causal attention makes prefix-cached continuation mathematically
+identical to full re-prefill. The session operates at the TOKEN level:
+the reference's string-rebuild flow can retokenize an answer/separator
+boundary differently than the generated tokens, which is a property of
+retokenization, not of cache reuse (a generated answer followed by the
+</s> EOS id is exactly the v1 template's "answer</s>" rendering).
+
+Batched lockstep: B independent conversations advance together (BASELINE
+config 4's batched multi-turn VQA). Rows that hit EOS early stop
+attending -- their post-finish pad writes are mask-zeroed forever -- and
+the shared scalar cache index advances in lockstep, so a turn consumes
+max-over-rows slots (bounded waste, no per-row timelines needed).
+
+vision_prediction_mode="2d" is not supported (its hidden-state ring
+would need dynamic-length stitching across the turn boundary); the
+flagship checkpoints ship "1d" (reference libra_pretrain.yaml:6).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libra_tpu.config import LibraConfig
+from libra_tpu.generation import (GenerationConfig, _last_position_logits,
+                                  sample_tokens)
+from libra_tpu.models import libra as M
+
+
+class TurnResult(NamedTuple):
+    tokens: jax.Array          # (Q, B, max_new) generated ids (pad-filled)
+    num_generated: jax.Array   # (B,) tokens generated incl. EOS
+
+
+def _rope_inc(cfg: LibraConfig, vi: jax.Array) -> jax.Array:
+    """2D-RoPE base increment contributed by a token with vision index
+    `vi`: 1 on text/BOI, R+1 on EOI, 0 inside an image (the decode-body
+    rule in generation._generate_impl, reference get_2d_position_ids)."""
+    Mv = cfg.max_vision_token_length
+    inc = jnp.where((vi == Mv) | (vi == 0), 1, 0)
+    return jnp.where(vi == Mv - 1, cfg.image_feature_resolution + 1, inc)
+
+
+def _turn_impl(params, cache, mask_buf, ids, vi, sig, pmask, pos_last,
+               rng, *, cfg: LibraConfig, gen: GenerationConfig,
+               lang_only: bool, max_new: int):
+    """One conversation turn: delta prefill at the carried cache index,
+    then an active-masked decode loop. Returns the turn's tokens plus the
+    updated carried state."""
+    Q, B, Nb = ids.shape
+    Mv = cfg.max_vision_token_length
+    start = cache.index
+    mask_buf = M._write_seq(mask_buf, pmask, start)
+
+    if cfg.use_2d_rope:
+        offset_tab = M.make_2d_pos_offset(cfg)
+        base = pos_last[:, None] + jnp.cumsum(_rope_inc(cfg, vi) * pmask,
+                                              axis=1)
+        pos = jnp.swapaxes(base[:, :, None]
+                           + offset_tab[jnp.clip(vi, 0, Mv)], 1, 2)
+        pos_last_new = base[:, -1]
+    else:
+        offset_tab = None
+        pos = pos_last[:, None] + jnp.cumsum(pmask, axis=1)
+        pos_last_new = pos[:, -1]
+
+    from libra_tpu.ops.qlinear import a8_enabled
+    with a8_enabled(gen.a8_prefill):
+        # w8a8 on the compute-bound delta pass only; the decode body below
+        # traces OUTSIDE this context (exact weight-only dequant), as in
+        # generation._generate_impl
+        out = M.forward(params, cfg, ids, mask_buf, vi, sig,
+                        position_ids=pos, cache=cache)
+
+    vi_last = vi[:, -1]          # delta is LEFT-padded: last column is real
+    logits = _last_position_logits(params, cfg, out.hidden_states,
+                                   vi_last < Mv, vi_last)
+    toks0 = jnp.full((Q, B, max_new), gen.pad_token_id, jnp.int32)
+
+    def cond(st):
+        return (st[0] < max_new) & ~jnp.all(st[7])
+
+    def body(st):
+        (t, toks, mask_buf, cache, logits, vi_last, pos_last, finished,
+         num_gen, rng) = st
+        rng, srng = jax.random.split(rng)
+        tok = sample_tokens(logits, gen, srng)                  # (Q, B)
+        active = ~finished
+        tok = jnp.where(active[None], tok, gen.pad_token_id)
+        eos = jnp.any(tok == gen.eos_token_id, axis=0) & active
+        num_gen = num_gen + active.astype(num_gen.dtype)
+        finished = finished | eos
+        toks = jax.lax.dynamic_update_slice(
+            toks, tok[:, :, None].astype(toks.dtype), (0, 0, t))
+        # the emitted token (incl. EOS -- it doubles as the v1 template's
+        # </s> separator) stays visible to future turns; post-finish pad
+        # writes are mask-zeroed out of attention forever
+        mask_buf = M._write_seq(mask_buf,
+                                active[:, None].astype(mask_buf.dtype),
+                                cache.index)
+        vi_new = jnp.where(active, jnp.minimum(vi_last + 1, Mv), vi_last)
+        if cfg.use_2d_rope:
+            pos_new = jnp.where(active, pos_last + _rope_inc(cfg, vi_new),
+                                pos_last)
+            pos_ids = (pos_new[:, None]
+                       + offset_tab[jnp.clip(vi_new, 0, Mv)])[:, :, None]
+        else:
+            pos_new = jnp.where(active, pos_last + 1, pos_last)
+            pos_ids = pos_new[:, None]
+        step = M.forward(params, cfg, tok[:, :, None], mask_buf,
+                         vi_new[:, None], None, position_ids=pos_ids,
+                         cache=cache, lang_only=lang_only)
+        logits = _last_position_logits(params, cfg, step.hidden_states,
+                                       vi_new < Mv, vi_new,
+                                       lang_only=lang_only)
+        return (t + 1, toks, mask_buf, step.cache, logits, vi_new, pos_new,
+                finished, num_gen, rng)
+
+    st = (jnp.int32(0), toks0, mask_buf, out.cache, logits, vi_last,
+          pos_last_new, jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32),
+          rng)
+    (_, toks, mask_buf, cache, _, vi_last, pos_last, _, num_gen,
+     _) = jax.lax.while_loop(cond, body, st)
+    return toks, num_gen, cache, mask_buf, vi_last, pos_last
+
+
+class ChatSession:
+    """Batched incremental multi-turn generation over one resident cache.
+
+    params/cfg as for Generator; `max_len` is the whole conversation's
+    token capacity (prompt deltas + answers across ALL turns). Deltas are
+    left-padded to `delta_bucket` multiples so the per-turn compile cache
+    stays bounded. With a `mesh`, params/cache shard tensor-parallel over
+    its "model" axis exactly as the Generator does."""
+
+    def __init__(self, params, cfg: LibraConfig, batch: int, max_len: int,
+                 gen: Optional[GenerationConfig] = None, delta_bucket: int = 64,
+                 mesh=None):
+        if cfg.vision_prediction_mode == "2d":
+            raise NotImplementedError(
+                "ChatSession supports vision_prediction_mode='1d' only "
+                "(the 2d hidden ring would need dynamic stitching across "
+                "turns); use Generator/pipeline.chat for 2d checkpoints")
+        self.cfg = cfg
+        self.gen = gen or GenerationConfig()
+        self.B = batch
+        self.delta_bucket = max(delta_bucket, 1)
+        self.S = (-(-max_len // 128) * 128 if self.gen.kv_quant
+                  else max_len)
+        self.mesh = mesh
+        self._cache_sh = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from libra_tpu.parallel.sharding import (cache_shardings,
+                                                     shard_params)
+            params = shard_params(mesh, params)
+            self._cache_sh = cache_shardings(mesh, cfg,
+                                             quantized=self.gen.kv_quant)
+        else:
+            params = jax.device_put(params)
+        self.params = params
+        from libra_tpu.ops.qlinear import kernel_enabled
+        self._qk_ctx = functools.partial(kernel_enabled, mesh is None)
+        self._fns: Dict[Any, Any] = {}
+        self.reset()
+
+    # -- state -------------------------------------------------------------
+
+    def reset(self) -> None:
+        """Fresh conversation: zeroed cache/mask, positions at -1."""
+        cache = M.init_cache(self.cfg, self.B, self.S,
+                             quantized=self.gen.kv_quant)
+        if self._cache_sh is not None:
+            cache = jax.device_put(cache, self._cache_sh)
+        self._cache = cache
+        self._mask_buf = jnp.zeros((self.B, self.S), jnp.int32)
+        self._pos_last = jnp.full((self.B,), -1, jnp.int32)
+        self._n = 0                 # host-side upper bound on cache.index
+
+    @property
+    def used(self) -> int:
+        """Upper bound on occupied cache slots (exact when every turn ran
+        to max_new; early-EOS turns leave it conservative)."""
+        return self._n
+
+    # -- per-turn ----------------------------------------------------------
+
+    def _fn(self, Nb: int, lang_only: bool, max_new: int):
+        key = (Nb, lang_only, max_new)
+        if key not in self._fns:
+            f = functools.partial(_turn_impl, cfg=self.cfg, gen=self.gen,
+                                  lang_only=lang_only, max_new=max_new)
+            # donate the carried device state (cache dominates: the session
+            # updates it in place turn over turn)
+            self._fns[key] = jax.jit(f, donate_argnums=(1, 2))
+        return self._fns[key]
+
+    def ask(self, inputs: Dict[str, Any],
+            max_new_tokens: Optional[int] = None,
+            rng: Optional[jax.Array] = None) -> TurnResult:
+        """Run one turn. `inputs` is a LibraTokenizer-style dict for the
+        DELTA only: input_ids (Q, B, Nd), vision_indices (B, Nd), optional
+        attention_mask (left padding from batched tokenization) and
+        coninous_signal (image turns). Returns the turn's generated
+        tokens; the cache/history advances in place."""
+        cfg, gen = self.cfg, self.gen
+        max_new = max_new_tokens or gen.max_new_tokens
+        ids = np.asarray(inputs["input_ids"])
+        vi = np.asarray(inputs["vision_indices"])
+        Q, B, Nd = ids.shape
+        if B != self.B:
+            raise ValueError(f"session batch is {self.B}, got {B}")
+        pm = inputs.get("attention_mask")
+        pm = (np.ones((B, Nd), np.int32) if pm is None
+              else np.asarray(pm, np.int32))
+        sig = inputs.get("coninous_signal")
+        sig = (np.zeros((B, Nd, cfg.contiguous_signal_size), np.float32)
+               if sig is None else np.asarray(sig, np.float32))
+
+        pad = (-Nd) % self.delta_bucket
+        if pad:
+            ids = np.pad(ids, ((0, 0), (0, 0), (pad, 0)),
+                         constant_values=gen.pad_token_id)
+            vi = np.pad(vi, ((0, 0), (pad, 0)),
+                        constant_values=cfg.max_vision_token_length)
+            pm = np.pad(pm, ((0, 0), (pad, 0)))
+            sig = np.pad(sig, ((0, 0), (pad, 0), (0, 0)))
+        Nb = Nd + pad
+        if self._n + Nb + max_new > self.S:
+            raise ValueError(
+                f"turn needs {Nb}+{max_new} slots but only "
+                f"{self.S - self._n} of {self.S} remain; raise max_len or "
+                f"reset() the session")
+
+        # lang-only decode body when every delta ends in text (chat
+        # answers); a delta ending inside an image block (t2i turn)
+        # decodes dual-path -- same resolution rule as Generator/serving
+        modality = gen.decode_modality
+        if modality == "auto":
+            modality = ("text" if bool((vi[:, -1] >= cfg.max_vision_token_length).all())
+                        else "dual")
+        elif modality == "text":
+            if (vi[:, -1] < cfg.max_vision_token_length).any():
+                raise ValueError(
+                    "decode_modality='text' needs deltas ending in text")
+        rng = rng if rng is not None else jax.random.PRNGKey(self._n)
+
+        with self._qk_ctx():
+            toks, num_gen, cache, mask_buf, vi_last, pos_last = self._fn(
+                Nb, modality == "text", max_new)(
+                    self.params, self._cache, self._mask_buf,
+                    jnp.asarray(ids), jnp.asarray(vi), jnp.asarray(sig),
+                    jnp.asarray(pm), self._pos_last, rng)
+        self._cache, self._mask_buf = cache, mask_buf
+        self._pos_last = pos_last
+        # exact occupancy readback (the tokens readback below blocks on
+        # the same computation anyway)
+        self._n = int(np.asarray(cache.index))
+        return TurnResult(tokens=toks, num_generated=num_gen)

@@ -167,3 +167,76 @@ class LibraPipeline:
         decoded = self.tokenizer.image_tokenizer.decode(
             [[block[q].tolist() for q in range(block.shape[0])]])
         return None if decoded is None else np.asarray(decoded[0])
+
+    def start_chat(self, n_parallel: int = 1, max_len: int = 2048,
+                   template: str = "v1", max_new_tokens: int = 512,
+                   temperature: float = 0.0, delta_bucket: int = 64):
+        """Open an incremental multi-turn conversation (n_parallel
+        independent conversations advance in lockstep). Unlike chat(),
+        which re-prefills the whole history every turn (the reference
+        demo flow), each ChatThread.ask() prefills only the new turn's
+        tokens against the resident KV cache -- turn-k TTFT is O(delta)."""
+        from libra_tpu.chat import ChatSession
+        gen = GenerationConfig(
+            max_new_tokens=max_new_tokens, do_sample=temperature > 0,
+            temperature=max(temperature, 1e-5),
+            eos_token_id=self.tokenizer.text_tokenizer.eos_token_id,
+            pad_token_id=self.tokenizer.text_tokenizer.pad_token_id)
+        session = ChatSession(self.params, self.cfg, batch=n_parallel,
+                              max_len=max_len, gen=gen,
+                              delta_bucket=delta_bucket, mesh=self.mesh)
+        return ChatThread(self, session, template)
+
+
+class ChatThread:
+    """Template/tokenizer frontend over an incremental ChatSession.
+
+    Turn 1 renders the full v1 preamble (system + "USER: <image block>
+    q ASSISTANT:"); later turns tokenize only "USER: q ASSISTANT:" without
+    BOS -- the generated EOS already sits in the cache as the template's
+    </s> separator. Note this is token-level continuation: the reference
+    re-tokenizes the rebuilt STRING each turn, which can merge an
+    answer/separator boundary differently (a retokenization property, not
+    a cache-reuse one)."""
+
+    def __init__(self, pipe: "LibraPipeline", session, template: str):
+        self.pipe = pipe
+        self.session = session
+        self.template = template
+        self.turn = 0
+
+    def ask(self, questions, images=None,
+            max_new_tokens: Optional[int] = None) -> List[str]:
+        pipe = self.pipe
+        if isinstance(questions, str):
+            questions = [questions]
+        if len(questions) != self.session.B:
+            raise ValueError(
+                f"thread runs {self.session.B} conversations, "
+                f"got {len(questions)} questions")
+        Mv = pipe.cfg.max_vision_token_length
+        if self.turn == 0:
+            prompts = [process_prompt(q, Mv, self.template,
+                                      with_image=images is not None)
+                       for q in questions]
+        else:
+            conv = conv_lib.conv_templates[self.template]
+            ph = ((" " + IMG_PH) * Mv).strip() + "\n" if images else ""
+            prompts = [f"{conv.roles[0]}: {ph}{q}{conv.sep}{conv.roles[1]}:"
+                       for q in questions]
+        tok = pipe.tokenizer.text_tokenizer
+        old_bos = getattr(tok, "add_bos_token", True)
+        try:
+            tok.add_bos_token = self.turn == 0
+            inputs = pipe._tokenize(prompts, images)
+        finally:
+            tok.add_bos_token = old_bos
+        res = self.session.ask(inputs, max_new_tokens=max_new_tokens)
+        self.turn += 1
+        toks = np.asarray(res.tokens)
+        outs = []
+        for b in range(toks.shape[1]):
+            ids = toks[0, b, :int(res.num_generated[b])]
+            ids = ids[ids != self.session.gen.pad_token_id]
+            outs.append(tok.decode(ids.tolist(), skip_special_tokens=True))
+        return outs

@@ -101,3 +101,23 @@ params:
     cfg2, ckpt2, mvt2 = load_vision_tokenizer_config(str(tmp_path / "nope"))
     assert mvt2 is None and ckpt2.endswith("vqgan.ckpt")
     assert cfg2.embed_dim == 18
+
+
+def test_chat_thread_multi_turn(pipe):
+    """Incremental ChatThread: two turns run end-to-end, and the first
+    turn's text equals the full-re-prefill chat() on the same prompt."""
+    from PIL import Image
+    img = Image.fromarray(np.random.RandomState(1)
+                          .randint(0, 255, (40, 40, 3), np.uint8))
+    want1 = pipe.chat(["describe this"], images=[img], max_new_tokens=4)
+    thread = pipe.start_chat(n_parallel=1, max_len=128, max_new_tokens=4,
+                             delta_bucket=4)
+    out1 = thread.ask(["describe this"], images=[img])
+    assert out1 == want1                        # same prompt, same greedy path
+    out2 = thread.ask(["and the shape?"])
+    assert len(out2) == 1 and isinstance(out2[0], str)
+    assert thread.turn == 2
+    # second turn compiled only the small delta program, not the
+    # image-block prompt width
+    widths = sorted(k[0] for k in thread.session._fns)
+    assert len(widths) == 2 and widths[0] < widths[1]
