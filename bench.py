@@ -502,6 +502,55 @@ def bench_serving(B=4, n_requests=24, max_new=64, decode_chunk=16):
     }
 
 
+def bench_chat_multiturn(B=4, text_len=32, delta_len=24, max_len=1024):
+    """Incremental multi-turn chat at full scale: B=4 parallel 32-layer
+    11B conversations (int8 weights + int8 KV). Turn 1 prefills the
+    610-token VQA prompt; turn 2 asks a short follow-up and prefills ONLY
+    its 64-token bucketed delta against the resident cache --
+    chat_turn2_ttft_ms vs chat_turn1_ttft_ms (~= the vqa_full32 TTFT
+    shape) is the cache-reuse win. Wall-clock includes dispatch and the
+    per-turn host staging, like the other TTFT numbers."""
+    import jax
+
+    from libra_tpu.chat import ChatSession
+    from libra_tpu.generation import GenerationConfig
+    from __graft_entry__ import _example_batch, _flagship_cfg
+
+    cfg = _flagship_cfg(32)
+    params = _device_quantized_params(cfg)
+    gen = GenerationConfig(eos_token_id=-1, kv_quant=True, a8_prefill=True)
+    sess = ChatSession(params, cfg, batch=B, max_len=max_len, gen=gen,
+                       delta_bucket=64)
+    ids, mask, vi, sig = _example_batch(cfg, B=B, text_len=text_len)
+    t1 = {"input_ids": ids, "attention_mask": mask, "vision_indices": vi,
+          "coninous_signal": sig}
+    rng = np.random.RandomState(1)
+    d_ids = rng.randint(3, cfg.vocab_size,
+                        size=(cfg.vision_codebook_num, B, delta_len))
+    d_ids[1:] = d_ids[0]
+    t2 = {"input_ids": d_ids,
+          "vision_indices": np.full((B, delta_len),
+                                    cfg.max_vision_token_length, np.int32)}
+
+    def cycle():
+        sess.reset()
+        t0 = time.perf_counter()
+        sess.ask(t1, max_new_tokens=1)      # ask() blocks on a readback
+        turn1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sess.ask(t2, max_new_tokens=1)
+        turn2 = time.perf_counter() - t0
+        return turn1, turn2
+
+    cycle()                                 # compile both turn programs
+    runs = [cycle() for _ in range(2)]
+    turn1 = min(r[0] for r in runs)
+    turn2 = min(r[1] for r in runs)
+    return {"chat_turn1_ttft_ms": round(turn1 * 1000, 1),
+            "chat_turn2_ttft_ms": round(turn2 * 1000, 1),
+            "chat_delta_tokens": delta_len}
+
+
 def bench_train_compile(num_layers=32, B=8, A=4, text_len=122):
     """PROOF-ONLY stage (VERDICT r3 item 6): AOT-compile the full-width
     32-layer rematerialised accumulation step (8-micro x 4-accum, seq 700,
@@ -680,6 +729,7 @@ _STAGES = {
             bench_decode_full_int8()), 1500),
     "vqa_full32": (lambda: _vqa_stage(), 2400),
     "serving": (lambda: bench_serving(), 2400),
+    "chat": (lambda: bench_chat_multiturn(), 1500),
     "train_step": (lambda: dict(zip(
         ("train_step_tok_s", "train_mfu"),
         (lambda r: (round(r[0], 1), round(r[1], 4)))(
