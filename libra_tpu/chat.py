@@ -60,15 +60,34 @@ def _rope_inc(cfg: LibraConfig, vi: jax.Array) -> jax.Array:
 
 
 def _turn_impl(params, cache, mask_buf, ids, vi, sig, pmask, pos_last,
-               rng, *, cfg: LibraConfig, gen: GenerationConfig,
-               lang_only: bool, max_new: int):
+               rng, vq_params=None, pixels=None, img_start=None, *,
+               cfg: LibraConfig, gen: GenerationConfig,
+               lang_only: bool, max_new: int, vq_cfg=None):
     """One conversation turn: delta prefill at the carried cache index,
     then an active-masked decode loop. Returns the turn's tokens plus the
-    updated carried state."""
+    updated carried state. With `pixels`, the CLIP+VQGAN encode runs
+    INSIDE this program and hides behind the delta prefill (the
+    Generator's fused vision path, generation._generate_impl)."""
     Q, B, Nb = ids.shape
     Mv = cfg.max_vision_token_length
     start = cache.index
     mask_buf = M._write_seq(mask_buf, pmask, start)
+
+    text_span = None
+    if pixels is not None:
+        from libra_tpu.training.fused import (_scatter_block,
+                                              encode_images_to_tokens)
+        img_ids, img_sig = encode_images_to_tokens(vq_params, vq_cfg, cfg,
+                                                   pixels)
+        ids = jax.vmap(jax.vmap(_scatter_block, in_axes=(0, 0, 0)),
+                       in_axes=(0, 0, None))(ids, img_ids, img_start)
+        sig = jax.vmap(_scatter_block)(
+            jnp.zeros((B, Nb, img_sig.shape[-1]), img_sig.dtype),
+            img_sig, img_start)
+        if gen.split_prefill and not cfg.addition_mode:
+            # one full image block per row makes the text width static:
+            # full-rank language projections run on text rows only (exact)
+            text_span = M.text_span_maps(cfg, img_start, Nb)
 
     if cfg.use_2d_rope:
         offset_tab = M.make_2d_pos_offset(cfg)
@@ -88,7 +107,7 @@ def _turn_impl(params, cache, mask_buf, ids, vi, sig, pmask, pos_last,
         # traces OUTSIDE this context (exact weight-only dequant), as in
         # generation._generate_impl
         out = M.forward(params, cfg, ids, mask_buf, vi, sig,
-                        position_ids=pos, cache=cache)
+                        position_ids=pos, cache=cache, text_span=text_span)
 
     vi_last = vi[:, -1]          # delta is LEFT-padded: last column is real
     logits = _last_position_logits(params, cfg, out.hidden_states,
@@ -153,7 +172,7 @@ class ChatSession:
 
     def __init__(self, params, cfg: LibraConfig, batch: int, max_len: int,
                  gen: Optional[GenerationConfig] = None, delta_bucket: int = 64,
-                 mesh=None):
+                 mesh=None, vq_params=None, vq_cfg=None):
         if cfg.vision_prediction_mode == "2d":
             raise NotImplementedError(
                 "ChatSession supports vision_prediction_mode='1d' only "
@@ -174,9 +193,17 @@ class ChatSession:
             params = shard_params(mesh, params)
             self._cache_sh = cache_shardings(mesh, cfg,
                                              quantized=self.gen.kv_quant)
+            if vq_params is not None:
+                # the vision tower is small: replicate (as Generator does)
+                vq_params = jax.device_put(
+                    vq_params, NamedSharding(mesh, PartitionSpec()))
         else:
             params = jax.device_put(params)
+            if vq_params is not None:
+                vq_params = jax.device_put(vq_params)
         self.params = params
+        self.vq_params = vq_params
+        self.vq_cfg = vq_cfg
         from libra_tpu.ops.qlinear import kernel_enabled
         self._qk_ctx = functools.partial(kernel_enabled, mesh is None)
         self._fns: Dict[Any, Any] = {}
@@ -203,11 +230,13 @@ class ChatSession:
 
     # -- per-turn ----------------------------------------------------------
 
-    def _fn(self, Nb: int, lang_only: bool, max_new: int):
-        key = (Nb, lang_only, max_new)
+    def _fn(self, Nb: int, lang_only: bool, max_new: int,
+            has_pixels: bool = False):
+        key = (Nb, lang_only, max_new, has_pixels)
         if key not in self._fns:
             f = functools.partial(_turn_impl, cfg=self.cfg, gen=self.gen,
-                                  lang_only=lang_only, max_new=max_new)
+                                  lang_only=lang_only, max_new=max_new,
+                                  vq_cfg=self.vq_cfg)
             # donate the carried device state (cache dominates: the session
             # updates it in place turn over turn)
             self._fns[key] = jax.jit(f, donate_argnums=(1, 2))
@@ -231,9 +260,18 @@ class ChatSession:
         pm = inputs.get("attention_mask")
         pm = (np.ones((B, Nd), np.int32) if pm is None
               else np.asarray(pm, np.int32))
-        sig = inputs.get("coninous_signal")
-        sig = (np.zeros((B, Nd, cfg.contiguous_signal_size), np.float32)
-               if sig is None else np.asarray(sig, np.float32))
+        pixels = inputs.get("pixels")
+        img_start = inputs.get("img_start")
+        if pixels is not None:
+            if self.vq_params is None:
+                raise ValueError("pixels turns need vq_params/vq_cfg")
+            pixels = jnp.asarray(np.asarray(pixels))
+            img_start = np.asarray(img_start, np.int32)
+            sig = np.zeros((B, Nd, cfg.contiguous_signal_size), np.float32)
+        else:
+            sig = inputs.get("coninous_signal")
+            sig = (np.zeros((B, Nd, cfg.contiguous_signal_size), np.float32)
+                   if sig is None else np.asarray(sig, np.float32))
 
         pad = (-Nd) % self.delta_bucket
         if pad:
@@ -243,6 +281,8 @@ class ChatSession:
                         constant_values=cfg.max_vision_token_length)
             pm = np.pad(pm, ((0, 0), (pad, 0)))
             sig = np.pad(sig, ((0, 0), (pad, 0), (0, 0)))
+            if img_start is not None:
+                img_start = img_start + pad
         Nb = Nd + pad
         if self._n + Nb + max_new > self.S:
             raise ValueError(
@@ -263,12 +303,14 @@ class ChatSession:
                     "decode_modality='text' needs deltas ending in text")
         rng = rng if rng is not None else jax.random.PRNGKey(self._n)
 
+        px_args = ((self.vq_params, pixels, jnp.asarray(img_start))
+                   if pixels is not None else ())
         with self._qk_ctx():
             toks, num_gen, cache, mask_buf, vi_last, pos_last = self._fn(
-                Nb, modality == "text", max_new)(
+                Nb, modality == "text", max_new, pixels is not None)(
                     self.params, self._cache, self._mask_buf,
                     jnp.asarray(ids), jnp.asarray(vi), jnp.asarray(sig),
-                    jnp.asarray(pm), self._pos_last, rng)
+                    jnp.asarray(pm), self._pos_last, rng, *px_args)
         self._cache, self._mask_buf = cache, mask_buf
         self._pos_last = pos_last
         # exact occupancy readback (the tokens readback below blocks on

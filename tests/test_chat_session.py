@@ -93,7 +93,7 @@ def test_two_turns_match_full_reprefill(tiny):
     r1 = sess.ask(t1, max_new_tokens=max_new)
     N1 = t1["input_ids"].shape[-1]
     Nb1 = N1 + (-N1) % 4
-    assert list(sess._fns) == [(Nb1, True, max_new)]
+    assert list(sess._fns) == [(Nb1, True, max_new, False)]
 
     # turn 1 must equal a plain Generator run on the same prompt
     g = Generator(params, cfg)
@@ -193,7 +193,7 @@ def test_t2i_turn_decodes_dual_path(tiny):
     t2["input_ids"][:, :, -1] = cfg.vocab_size + cfg.vision_vocab_size - 2
     t2["vision_indices"][:, -1] = 0               # delta ends at BOI
     r2 = sess.ask(t2, max_new_tokens=4)
-    assert (3, False, 4) in sess._fns             # dual-path body compiled
+    assert (3, False, 4, False) in sess._fns             # dual-path body compiled
     new = np.asarray(r2.tokens)
     assert (new >= cfg.vocab_size).all()          # image continues
 
@@ -242,3 +242,54 @@ def test_session_guards(tiny):
         sess.ask(_text_delta(cfg, 2, 3, seed=0))
     with pytest.raises(ValueError, match="slots"):
         sess.ask(_text_delta(cfg, 1, 3, seed=0), max_new_tokens=64)
+
+
+def test_turn_with_pixels_matches_preencoded(tiny):
+    """A raw-pixels turn (CLIP+VQGAN encode fused into the delta prefill)
+    emits exactly the tokens of the same turn pre-encoded on the host."""
+    from libra_tpu.config import VQGANConfig
+    from libra_tpu.data.caption_format import IMG_PH
+    from libra_tpu.models import vqgan as vqgan_model
+    from libra_tpu.tokenization import (ImageTokenizer, LibraTokenizer,
+                                        SimpleTextTokenizer)
+
+    cfg, params = tiny
+    vq_cfg = VQGANConfig.tiny()
+    vq_params = vqgan_model.init_params(jax.random.PRNGKey(1), vq_cfg)
+    text_tok = SimpleTextTokenizer(vocab_size=cfg.vocab_size)
+    img_tok = ImageTokenizer(vq_cfg, vq_params, token_offset=cfg.vocab_size,
+                             max_vision_token_length=cfg.max_vision_token_length)
+    joint = LibraTokenizer(text_tok, img_tok)
+    Mv = cfg.max_vision_token_length
+    gen = GenerationConfig(eos_token_id=-1)
+
+    img = np.random.RandomState(0).randn(28, 28, 3).astype(np.float32)
+    prompt = " ".join([IMG_PH] * Mv) + " describe:"
+    pre = joint([{"language": [prompt], "vision": [img]}])
+
+    sess_a = ChatSession(params, cfg, batch=1, max_len=96, gen=gen,
+                         delta_bucket=4)
+    ra = sess_a.ask({"input_ids": np.asarray(pre["input_ids"]),
+                     "vision_indices": np.asarray(pre["vision_indices"]),
+                     "coninous_signal": np.asarray(pre["coninous_signal"])},
+                    max_new_tokens=4)
+
+    t = text_tok([prompt])
+    ids = np.asarray(t["input_ids"], np.int64)
+    pos = int(np.nonzero(ids[0] == text_tok.img_ph_token_id)[0][0])
+    vi = np.full((1, ids.shape[-1]), Mv, np.int64)
+    vi[0, pos:pos + Mv] = np.arange(Mv)
+    sess_b = ChatSession(params, cfg, batch=1, max_len=96, gen=gen,
+                         delta_bucket=4, vq_params=vq_params, vq_cfg=vq_cfg)
+    rb = sess_b.ask({"input_ids": np.broadcast_to(
+                        ids[None], (cfg.vision_codebook_num,) + ids.shape),
+                     "vision_indices": vi,
+                     "pixels": img[None], "img_start": np.array([pos])},
+                    max_new_tokens=4)
+    np.testing.assert_array_equal(np.asarray(rb.tokens),
+                                  np.asarray(ra.tokens))
+
+    with pytest.raises(ValueError, match="vq_params"):
+        sess_a.ask({"input_ids": ids[None].repeat(2, 0),
+                    "vision_indices": vi,
+                    "pixels": img[None], "img_start": np.array([pos])})
