@@ -511,19 +511,32 @@ def bench_chat_multiturn(B=4, text_len=32, delta_len=24, max_len=1024):
     shape) is the cache-reuse win. Wall-clock includes dispatch and the
     per-turn host staging, like the other TTFT numbers."""
     import jax
+    import jax.numpy as jnp
 
     from libra_tpu.chat import ChatSession
+    from libra_tpu.config import VQGANConfig
     from libra_tpu.generation import GenerationConfig
-    from __graft_entry__ import _example_batch, _flagship_cfg
+    from libra_tpu.models import vqgan as vqgan_model
+    from __graft_entry__ import _example_batch, _flagship_cfg, fast_fill
 
     cfg = _flagship_cfg(32)
     params = _device_quantized_params(cfg)
+    vq_cfg = VQGANConfig(select_layer=(-2, -1))
+    vq_params = jax.device_put(jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype")
+        and x.dtype == jnp.float32 else x,
+        fast_fill(lambda: vqgan_model.init_params(jax.random.PRNGKey(0),
+                                                  vq_cfg))))
     gen = GenerationConfig(eos_token_id=-1, kv_quant=True, a8_prefill=True)
     sess = ChatSession(params, cfg, batch=B, max_len=max_len, gen=gen,
-                       delta_bucket=64)
-    ids, mask, vi, sig = _example_batch(cfg, B=B, text_len=text_len)
+                       delta_bucket=64, vq_params=vq_params, vq_cfg=vq_cfg)
+    # turn 1 = the vqa_full32 shape: fused uint8-pixels prefill (encode
+    # hidden behind the prompt pass; 4x fewer staging bytes than f32)
+    ids, mask, vi, _ = _example_batch(cfg, B=B, text_len=text_len)
+    pixels = np.random.RandomState(0).randint(
+        0, 256, size=(B, 336, 336, 3)).astype(np.uint8)
     t1 = {"input_ids": ids, "attention_mask": mask, "vision_indices": vi,
-          "coninous_signal": sig}
+          "pixels": pixels, "img_start": np.full((B,), 8, np.int32)}
     rng = np.random.RandomState(1)
     d_ids = rng.randint(3, cfg.vocab_size,
                         size=(cfg.vision_codebook_num, B, delta_len))
