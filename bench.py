@@ -742,6 +742,12 @@ _STAGES = {
             bench_decode_full_int8()), 1500),
     "vqa_full32": (lambda: _vqa_stage(), 2400),
     "serving": (lambda: bench_serving(), 2400),
+    # larger slot pool: decode bytes/step are weights-dominated (6.6 GB
+    # weights vs ~0.2 GB KV per slot at S=768), so doubling the pool
+    # nearly doubles aggregate tokens/s at roughly equal step time
+    "serving8": (lambda: {"serving8" + k[len("serving"):]: v
+                          for k, v in bench_serving(
+                              B=8, n_requests=32).items()}, 2700),
     "chat": (lambda: bench_chat_multiturn(), 1500),
     "train_step": (lambda: dict(zip(
         ("train_step_tok_s", "train_mfu"),

@@ -52,6 +52,15 @@ class GenerationConfig:
     #   block makes the text width static). Exact -- language outputs at
     #   vision positions are discarded by the routing merge anyway.
     #   Auto-disabled in addition_mode (language path needed everywhere).
+    spec_decode: int = 0  # gamma > 0 enables n-gram (prompt-lookup)
+    #   speculative decoding: each decode iteration drafts `gamma` tokens
+    #   by bigram lookup over the already-generated history (on device),
+    #   verifies them in ONE (gamma+1)-token cached forward, and emits the
+    #   accepted prefix + the model's own next token -- >= 1 token per
+    #   step at ~1 step's HBM cost (decode is weight-bound). EXACT: every
+    #   emitted token is the model's greedy argmax. Requires greedy
+    #   (do_sample=False) and a text-mode decode (resolved
+    #   decode_modality == "text"); see libra_tpu/spec_decode.py.
     decode_modality: str = "auto"  # "auto" | "text" | "dual".
     #   "text" = decode via the language path ONLY (vision projections/MLP/
     #   embeds statically skipped; ~half the weight bytes/step). EXACT for
@@ -130,11 +139,29 @@ def _last_position_logits(params, cfg: LibraConfig, hidden: jax.Array,
     return M.force_eoi_newline(cfg, logits, vi_last)       # (Q, B, Vc)
 
 
-def _generate_impl(params, input_ids, attention_mask, vision_indices,
-                   contiguous_signal, rng, vq_params=None, pixels=None,
-                   img_start=None, *, cfg: LibraConfig,
-                   gen: GenerationConfig, vq_cfg=None,
-                   cache_shardings=None):
+class PrefillState(NamedTuple):
+    """Everything the decode loop needs after the prompt pass (shared by
+    the standard `_generate_impl` loop and spec_decode's verify loop)."""
+    tokens: jax.Array        # (Q, B, S) prompt written at [:, :, :N]
+    mask_buf: jax.Array      # (B, Sc)
+    cache: Any               # M.KVCache, index == N
+    logits: jax.Array        # (Q, B, Vc) last-prompt-position logits
+    vi_last: jax.Array       # (B,)
+    last_pos: jax.Array      # (B,) carried position counter
+    hist: jax.Array          # (B, R-1, D) 2D-mode hidden ring
+    h_up_last: jax.Array     # (B, D)
+    offset_tab: Optional[jax.Array]   # 2D-RoPE offsets or None
+
+
+def _prefill(params, input_ids, attention_mask, vision_indices,
+             contiguous_signal, vq_params=None, pixels=None,
+             img_start=None, *, cfg: LibraConfig, gen: GenerationConfig,
+             vq_cfg=None, cache_shardings=None,
+             extra_cache: int = 0) -> PrefillState:
+    """Jit-traceable prompt pass: fused vision encode (raw-pixels path),
+    cache init (+`extra_cache` slack positions past N + max_new_tokens --
+    spec_decode's verify block may probe up to gamma slots past the
+    budget), prompt forward, last-position logits, 2D carries."""
     Q, B, N = input_ids.shape
     Mv = cfg.max_vision_token_length
     S = N + gen.max_new_tokens
@@ -151,7 +178,8 @@ def _generate_impl(params, input_ids, attention_mask, vision_indices,
     # the kernel's one-pass read replacing the XLA triple pass. The
     # rounding depends only on GenerationConfig -- program shape is a pure
     # function of the compile-cache key (ADVICE r2 finding 2).
-    Sc = -(-S // 128) * 128 if gen.kv_quant else S
+    Sc = S + extra_cache
+    Sc = -(-Sc // 128) * 128 if gen.kv_quant else Sc
 
     if pixels is not None:
         # fused vision path: CLIP+VQGAN encode runs INSIDE this program, so
@@ -235,6 +263,26 @@ def _generate_impl(params, input_ids, attention_mask, vision_indices,
 
     tokens = jnp.zeros((Q, B, S), input_ids.dtype).at[:, :, :N].set(input_ids)
     last_pos = base_last if cfg.use_2d_rope else pos[:, -1]
+    return PrefillState(tokens=tokens, mask_buf=mask_buf, cache=out.cache,
+                        logits=logits, vi_last=vi_last, last_pos=last_pos,
+                        hist=hist, h_up_last=h_up_last,
+                        offset_tab=offset_tab)
+
+
+def _generate_impl(params, input_ids, attention_mask, vision_indices,
+                   contiguous_signal, rng, vq_params=None, pixels=None,
+                   img_start=None, *, cfg: LibraConfig,
+                   gen: GenerationConfig, vq_cfg=None,
+                   cache_shardings=None):
+    Q, B, N = input_ids.shape
+    Mv = cfg.max_vision_token_length
+    is_2d = cfg.vision_prediction_mode == "2d"
+    st = _prefill(params, input_ids, attention_mask, vision_indices,
+                  contiguous_signal, vq_params, pixels, img_start, cfg=cfg,
+                  gen=gen, vq_cfg=vq_cfg, cache_shardings=cache_shardings)
+    tokens, mask_buf, logits = st.tokens, st.mask_buf, st.logits
+    vi_last, last_pos, hist = st.vi_last, st.last_pos, st.hist
+    offset_tab = st.offset_tab
 
     lang_only = gen.decode_modality == "text"
 
@@ -288,7 +336,7 @@ def _generate_impl(params, input_ids, attention_mask, vision_indices,
         return (t + 1, tokens, mask_buf, step.cache, logits, vi_new,
                 new_pos, rng, finished, num_gen, new_hist)
 
-    init = (jnp.int32(0), tokens, mask_buf, out.cache, logits, vi_last,
+    init = (jnp.int32(0), tokens, mask_buf, st.cache, logits, vi_last,
             last_pos, rng, jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32),
             hist)
     final = jax.lax.while_loop(cond, body, init)
@@ -348,8 +396,18 @@ class Generator:
                 from libra_tpu.parallel.sharding import cache_shardings
                 cache_sh = cache_shardings(self.mesh, self.cfg,
                                            quantized=gen.kv_quant)
+            impl = _generate_impl
+            if gen.spec_decode > 0:
+                if gen.do_sample or gen.decode_modality != "text":
+                    raise ValueError(
+                        "spec_decode requires greedy decoding and a "
+                        "text-mode decode (resolved decode_modality == "
+                        "'text'); got do_sample=%r, decode_modality=%r"
+                        % (gen.do_sample, gen.decode_modality))
+                from libra_tpu.spec_decode import _spec_generate_impl
+                impl = _spec_generate_impl
             self._compiled[key] = jax.jit(functools.partial(
-                _generate_impl, cfg=self.cfg, gen=gen, vq_cfg=self.vq_cfg,
+                impl, cfg=self.cfg, gen=gen, vq_cfg=self.vq_cfg,
                 cache_shardings=cache_sh))
         return self._compiled[key]
 
