@@ -311,6 +311,66 @@ def bench_decode_full_int8(B=4, text_len=32, max_new=64, text_decode=True):
     return decode_only_tok_s, dt, roofline
 
 
+def bench_spec_decode(B=4, text_len=32, max_new=128, gamma=3):
+    """N-gram speculative text decode at full scale (full-32 int8 weights
+    + int8 KV, greedy): same prompt shape as the decode stage, spec vs
+    standard decode on identical inputs. Reports the measured acceptance
+    rate alongside the speedup: the bench model's weights are random, and
+    random-weight greedy decode settles into repetitive continuations that
+    bigram lookup predicts well -- the speedup is therefore a CEILING
+    number for copy-heavy workloads, not a natural-text average (natural
+    acceptance depends on how much the answer copies from its history)."""
+    import dataclasses
+
+    import jax
+
+    from libra_tpu.generation import GenerationConfig, Generator
+    from __graft_entry__ import _example_batch, _flagship_cfg
+
+    cfg = _flagship_cfg(32)
+    params = _device_quantized_params(cfg)
+    ids, mask, vi, sig = _example_batch(cfg, B=B, text_len=text_len)
+    inputs = jax.device_put({"input_ids": np.asarray(ids),
+                             "attention_mask": np.asarray(mask),
+                             "vision_indices": np.asarray(vi),
+                             "coninous_signal": np.asarray(sig)})
+    g = Generator(params, cfg)
+    base = GenerationConfig(max_new_tokens=max_new, eos_token_id=-1,
+                            kv_quant=True, decode_modality="text")
+    spec = dataclasses.replace(base, spec_decode=gamma)
+    _sync(g(inputs, base).sequences)            # compile both programs
+    _sync(g(inputs, spec).sequences)
+
+    def best(fn, n=2):
+        out = None
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            d = time.perf_counter() - t0
+            out = d if out is None else min(out, d)
+        return out
+
+    dt_base = best(lambda: _sync(g(inputs, base).sequences))
+    res = {}
+
+    def run_spec():
+        r = g(inputs, spec)
+        _sync(r.sequences)
+        res["r"] = r
+
+    dt_spec = best(run_spec)
+    toks = int(np.asarray(res["r"].num_generated).sum())
+    iters = max(int(np.asarray(res["r"].iterations)), 1)
+    return {
+        "spec_decode_tok_s": round(toks / dt_spec, 2),
+        "spec_decode_base_tok_s": round(max_new * B / dt_base, 2),
+        "spec_decode_speedup": round(dt_base / dt_spec, 3),
+        # mean tokens emitted per verify iteration (1 + acceptance)
+        "spec_decode_tok_per_iter": round(toks / B / iters, 3),
+        "spec_decode_gamma": gamma,
+    }
+
+
 def bench_vqa_fused_full32(B=4, text_len=32, max_new=64, a8=True):
     """BASELINE configs 3-4 at REAL scale: the full 32-layer 11B flagship
     (int8 weights + int8 KV) answering batched single-image VQA prompts
@@ -740,6 +800,7 @@ _STAGES = {
         "decode_full32_tok_s": round(r[0], 2),
         "decode_full32_wall_s": round(r[1], 3), **r[2]})(
             bench_decode_full_int8()), 1500),
+    "spec_decode": (lambda: bench_spec_decode(), 2400),
     "vqa_full32": (lambda: _vqa_stage(), 2400),
     "serving": (lambda: bench_serving(), 2400),
     # larger slot pool: decode bytes/step are weights-dominated (6.6 GB

@@ -114,6 +114,8 @@ def sample_tokens(logits: jax.Array, gen: GenerationConfig,
 class GenerateResult(NamedTuple):
     sequences: jax.Array       # (Q, B, prompt_len + max_new_tokens)
     num_generated: jax.Array   # (B,) tokens generated incl. EOS
+    iterations: Optional[jax.Array] = None  # decode-loop iterations (spec
+    #   decode only: tokens/iteration - 1 is the measured acceptance rate)
 
 
 def _last_position_logits(params, cfg: LibraConfig, hidden: jax.Array,

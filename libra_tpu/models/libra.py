@@ -509,8 +509,8 @@ def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
                 kbs=None if ckb is None else ckb.scale,
                 vbq=None if cvb is None else cvb.q,
                 vbs=None if cvb is None else cvb.scale,
-                flag_q=flag[:, 0], kv_flag=kv_flag,
-                bias=bias[:, 0, 0], layer_idx=li, interpret=DA.INTERPRET)
+                flag_q=flag, kv_flag=kv_flag,
+                bias=bias[:, 0], layer_idx=li, interpret=DA.INTERPRET)
         else:
             k, v = rd(ck), rd(cv)
             if cfg.use_bridge:

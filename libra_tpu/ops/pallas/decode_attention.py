@@ -1,6 +1,7 @@
 """Fused bridged decode attention over the head-major int8 KV cache.
 
-One decode step's attention (Nq=1) reads the whole cached K/V history;
+One decode step's attention (Nq=1; q blocks up to Nq=8 for spec-decode
+verify passes) reads the whole cached K/V history;
 with an int8 cache the XLA path costs three passes over the data per layer
 (dequant-materialise bf16, score reads, value reads -- profiled ~11 ms/step
 on the full-32-layer 11B decode). This kernel reads the RAW int8 buffers
@@ -95,15 +96,15 @@ _MAX_CELL_VMEM = 12 * 1024 * 1024
 def _scores(q_h, k_ref, srow, h, inv_sqrt_d):
     k = k_ref[h].astype(jnp.bfloat16)                   # (S, d) contiguous
     s = jax.lax.dot_general(q_h, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (1, S)
+                            preferred_element_type=jnp.float32)  # (N, S)
     return s * srow * inv_sqrt_d
 
 
 def _weighted_v(a, v_ref, srow, h):
-    av = (a * srow).astype(jnp.bfloat16)                # (1, S)
+    av = (a * srow).astype(jnp.bfloat16)                # (N, S)
     return jax.lax.dot_general(av, v_ref[h].astype(jnp.bfloat16),
                                (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)  # (1, d)
+                               preferred_element_type=jnp.float32)  # (N, d)
 
 
 # NOTE on scale blocks: the scale refs are the FULL (H, S) planes of the
@@ -117,17 +118,20 @@ def _weighted_v(a, v_ref, srow, h):
 def _kernel_bridge(q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
                    kbq_ref, kbs_ref, vbq_ref, vbs_ref,
                    fq_ref, fkv_ref, bias_ref, o_ref, *, inv_sqrt_d):
-    cross = fq_ref[0, 0] != fkv_ref[:]                  # (1, S)
-    bias = bias_ref[:]
+    # fq_ref (1, N), fkv_ref (1, S), bias_ref (N, S): per-QUERY-row flags
+    # and additive mask (q blocks of N > 1 carry in-block causality in the
+    # bias -- the spec-decode verify pass)
+    cross = fq_ref[0][:, None] != fkv_ref[:]            # (N, S)
+    bias = bias_ref[:]                                  # (N, S)
     h0 = pl.program_id(1) * q_ref.shape[0]
     for h in range(q_ref.shape[0]):
         row = pl.ds(h0 + h, 1)
-        q_h = q_ref[h]                                  # (1, d)
+        q_h = q_ref[h]                                  # (N, d)
         s = _scores(q_h, kq_ref, ks_ref[row, :], h, inv_sqrt_d)
         sb = _scores(q_h, kbq_ref, kbs_ref[row, :], h, inv_sqrt_d)
         s = s + jnp.where(cross, sb, 0.0)
         s = jnp.maximum(s + bias, BIG_NEG)
-        a = jax.nn.softmax(s, axis=-1)                  # fp32 (1, S)
+        a = jax.nn.softmax(s, axis=-1)                  # fp32 (N, S)
         out = _weighted_v(a, vq_ref, vs_ref[row, :], h)
         out = out + _weighted_v(jnp.where(cross, a, 0.0),
                                 vbq_ref, vbs_ref[row, :], h)
@@ -136,11 +140,11 @@ def _kernel_bridge(q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
 
 def _kernel_plain(q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
                   bias_ref, o_ref, *, inv_sqrt_d):
-    bias = bias_ref[:]
+    bias = bias_ref[:]                                  # (N, S)
     h0 = pl.program_id(1) * q_ref.shape[0]
     for h in range(q_ref.shape[0]):
         row = pl.ds(h0 + h, 1)
-        q_h = q_ref[h]
+        q_h = q_ref[h]                                  # (N, d)
         s = _scores(q_h, kq_ref, ks_ref[row, :], h, inv_sqrt_d)
         s = jnp.maximum(s + bias, BIG_NEG)
         a = jax.nn.softmax(s, axis=-1)
@@ -163,10 +167,11 @@ def int8_decode_attention(q, kq, ks, vq, vs, kbq=None, kbs=None,
                           vbq=None, vbs=None, flag_q=None, kv_flag=None,
                           bias=None, layer_idx=None,
                           interpret: bool = False):
-    """q (B, 1, H, d) bf16; kq/vq HEAD-MAJOR (B, H, S, d) int8 with
-    (B, H, S) fp32 scales; optional bridge tensors; flag_q (B,) /
-    kv_flag (B, S) bool; bias (B, S) additive fp32. Returns (B, 1, H, d)
-    in q.dtype.
+    """q (B, N, H, d) bf16, N <= 8; kq/vq HEAD-MAJOR (B, H, S, d) int8
+    with (B, H, S) fp32 scales; optional bridge tensors; flag_q (B,) or
+    per-query (B, N) / kv_flag (B, S) bool; bias (B, S) or per-query
+    (B, N, S) additive fp32 (q blocks carry their in-block causality in
+    the bias). Returns (B, N, H, d) in q.dtype.
 
     With `layer_idx`, kq/vq (and bridges) are the FULL STACKED cache
     (L, B, H, S, d) with (L, B, H, S) scales: the layer index rides
@@ -181,32 +186,39 @@ def int8_decode_attention(q, kq, ks, vq, vs, kbq=None, kbs=None,
     B, N, H, d = q.shape
     S = kq.shape[-2]
     kv_shape = (B, H, S, d) if not stacked else kq.shape[:1] + (B, H, S, d)
-    assert N == 1 and S % 128 == 0 and kq.shape == kv_shape, \
+    assert N <= 8 and S % 128 == 0 and kq.shape == kv_shape, \
         (q.shape, kq.shape)
     use_bridge = kbq is not None
     hb = _head_block(H, S, d, 4 if use_bridge else 2)
-    qh = q.reshape(B, H, 1, d)
-    bias = bias.astype(jnp.float32).reshape(B, 1, S)
+    qh = q.transpose(0, 2, 1, 3)                        # (B, H, N, d)
+    # bias (B, S) [single-step] or (B, N, S) [q-block with in-block
+    # causality, the spec-decode verify pass]
+    bias = bias.astype(jnp.float32)
+    if bias.ndim == 2:
+        bias = bias[:, None, :]
+    bias = jnp.broadcast_to(bias, (B, N, S))
     grid = (B, H // hb)
 
     if stacked:
-        q_spec = pl.BlockSpec((None, hb, 1, d), lambda b, h, iref: (b, h, 0, 0))
+        q_spec = pl.BlockSpec((None, hb, N, d), lambda b, h, iref: (b, h, 0, 0))
         kv_spec = pl.BlockSpec((None, None, hb, S, d),
                                lambda b, h, iref: (iref[0], b, h, 0, 0))
         s_spec = pl.BlockSpec((None, None, H, S),
                               lambda b, h, iref: (iref[0], b, 0, 0))
         row_spec = pl.BlockSpec((None, 1, S), lambda b, h, iref: (b, 0, 0))
-        fq_spec = pl.BlockSpec((None, 1, 1), lambda b, h, iref: (b, 0, 0))
-        out_spec = pl.BlockSpec((None, hb, 1, d),
+        bias_spec = pl.BlockSpec((None, N, S), lambda b, h, iref: (b, 0, 0))
+        fq_spec = pl.BlockSpec((None, 1, N), lambda b, h, iref: (b, 0, 0))
+        out_spec = pl.BlockSpec((None, hb, N, d),
                                 lambda b, h, iref: (b, h, 0, 0))
     else:
-        q_spec = pl.BlockSpec((None, hb, 1, d), lambda b, h: (b, h, 0, 0))
+        q_spec = pl.BlockSpec((None, hb, N, d), lambda b, h: (b, h, 0, 0))
         kv_spec = pl.BlockSpec((None, hb, S, d), lambda b, h: (b, h, 0, 0))
         s_spec = pl.BlockSpec((None, H, S), lambda b, h: (b, 0, 0))
         row_spec = pl.BlockSpec((None, 1, S), lambda b, h: (b, 0, 0))
-        fq_spec = pl.BlockSpec((None, 1, 1), lambda b, h: (b, 0, 0))
-        out_spec = pl.BlockSpec((None, hb, 1, d), lambda b, h: (b, h, 0, 0))
-    out_shape = jax.ShapeDtypeStruct((B, H, 1, d), q.dtype)
+        bias_spec = pl.BlockSpec((None, N, S), lambda b, h: (b, 0, 0))
+        fq_spec = pl.BlockSpec((None, 1, N), lambda b, h: (b, 0, 0))
+        out_spec = pl.BlockSpec((None, hb, N, d), lambda b, h: (b, h, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((B, H, N, d), q.dtype)
 
     def sc(s):
         # scales pass through UNRESHAPED (sequence-minor (.., B, H, S));
@@ -215,17 +227,20 @@ def int8_decode_attention(q, kq, ks, vq, vs, kbq=None, kbs=None,
         return s
 
     if use_bridge:
-        fq = flag_q.astype(jnp.int32).reshape(B, 1, 1)
+        fq = flag_q.astype(jnp.int32)
+        if fq.ndim == 1:
+            fq = fq[:, None]
+        fq = jnp.broadcast_to(fq, (B, N)).reshape(B, 1, N)
         fkv = kv_flag.astype(jnp.int32).reshape(B, 1, S)
         kern = _kernel_bridge_stacked if stacked else _kernel_bridge
         in_specs = [q_spec, kv_spec, s_spec, kv_spec, s_spec,
                     kv_spec, s_spec, kv_spec, s_spec,
-                    fq_spec, row_spec, row_spec]
+                    fq_spec, row_spec, bias_spec]
         args = (qh.astype(jnp.bfloat16), kq, sc(ks), vq, sc(vs),
                 kbq, sc(kbs), vbq, sc(vbs), fq, fkv, bias)
     else:
         kern = _kernel_plain_stacked if stacked else _kernel_plain
-        in_specs = [q_spec, kv_spec, s_spec, kv_spec, s_spec, row_spec]
+        in_specs = [q_spec, kv_spec, s_spec, kv_spec, s_spec, bias_spec]
         args = (qh.astype(jnp.bfloat16), kq, sc(ks), vq, sc(vs), bias)
 
     kern = functools.partial(kern, inv_sqrt_d=1.0 / d ** 0.5)
@@ -240,16 +255,17 @@ def int8_decode_attention(q, kq, ks, vq, vs, kbq=None, kbs=None,
         out = pl.pallas_call(kern, grid=grid, in_specs=in_specs,
                              out_specs=out_spec, out_shape=out_shape,
                              interpret=interpret)(*args)
-    return out.reshape(B, 1, H, d)
+    return out.transpose(0, 2, 1, 3)                    # (B, N, H, d)
 
 
 def decode_kernel_applicable(cfg, cache_k, q_len: int) -> bool:
     """Static gate: the fused kernel handles this decode step's shapes.
     cache_k may be a per-layer (B, H, S, d) or stacked (L, B, H, S, d)
-    QuantizedArray. (Backend/TP gating is the caller's via
-    decode_kernel_active.)"""
+    QuantizedArray. q blocks up to 8 are supported (spec-decode verify
+    passes); prompt-scale q lengths fall back to the prefill paths.
+    (Backend/TP gating is the caller's via decode_kernel_active.)"""
     from libra_tpu.quantization import QuantizedArray
-    if not ENABLED or q_len != 1:
+    if not ENABLED or not 1 <= q_len <= 8:
         return False
     if not isinstance(cache_k, QuantizedArray):
         return False

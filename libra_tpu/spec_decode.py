@@ -200,4 +200,4 @@ def _spec_generate_impl(params, input_ids, attention_mask, vision_indices,
             finished, num_gen)
     final = jax.lax.while_loop(cond, body, init)
     return GenerateResult(sequences=final[1][:, :, :S],
-                          num_generated=final[8])
+                          num_generated=final[8], iterations=final[0])

@@ -207,3 +207,50 @@ def test_int8_decode_attention_matches_xla(use_bridge):
         bias[:, None, None, :])
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want), rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("use_bridge", [True, False])
+def test_int8_decode_attention_qblock(use_bridge):
+    """Nq=4 query block (the spec-decode verify shape) with in-block
+    causality carried in a per-query (B, N, S) bias."""
+    from libra_tpu.ops.pallas.decode_attention import int8_decode_attention
+
+    B, S, H, d, N = 2, 128, 8, 128, 4
+    rng = np.random.RandomState(7)
+
+    def qbuf(seed):
+        x = np.random.RandomState(seed).randn(B, H, S, d).astype(np.float32)
+        a = np.abs(x).max(-1, keepdims=True)
+        scale = np.where(a > 0, a, 1.0) / 127.0
+        qv = np.clip(np.round(x / scale), -127, 127).astype(np.int8)
+        return jnp.asarray(qv), jnp.asarray(scale[..., 0])
+
+    kq, ks = qbuf(11)
+    vq, vs = qbuf(12)
+    kbq, kbs = qbuf(13) if use_bridge else (None, None)
+    vbq, vbs = qbuf(14) if use_bridge else (None, None)
+    q = jnp.asarray(rng.randn(B, N, H, d).astype(np.float32))
+    flag_q = jnp.asarray(rng.rand(B, N) < 0.5)
+    kv_flag = jnp.asarray(rng.rand(B, S) < 0.4)
+    # queries occupy slots [96, 100): causal + padding per query row
+    keep = np.zeros((B, N, S), bool)
+    for i in range(N):
+        keep[:, i, : 96 + i + 1] = True
+    keep[0, :, :3] = False
+    bias = jnp.asarray(np.where(keep, 0.0, -2.0 ** 30).astype(np.float32))
+
+    got = int8_decode_attention(
+        q.astype(jnp.bfloat16), kq, ks, vq, vs, kbq=kbq, kbs=kbs,
+        vbq=vbq, vbs=vbs, flag_q=flag_q, kv_flag=kv_flag, bias=bias,
+        interpret=True)
+
+    def deq(qv, s):
+        return (qv.astype(jnp.float32) * s[..., None]).transpose(0, 2, 1, 3)
+
+    want = bridged_attention(
+        AttentionInputs(q, deq(kq, ks), deq(vq, vs),
+                        deq(kbq, kbs) if use_bridge else None,
+                        deq(vbq, vbs) if use_bridge else None),
+        flag_q, kv_flag, bias[:, None])
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), rtol=3e-2, atol=3e-2)

@@ -244,7 +244,8 @@ def test_model_decode_kernel_wiring_matches_xla(monkeypatch):
     # static gate sanity: applicable here, not for unaligned head_dim
     cache = M.init_cache(cfg, B, S, quantized=True)
     assert DA.decode_kernel_applicable(cfg, cache.k[0], 1)
-    assert not DA.decode_kernel_applicable(cfg, cache.k[0], 2)
+    assert DA.decode_kernel_applicable(cfg, cache.k[0], 4)   # spec verify
+    assert not DA.decode_kernel_applicable(cfg, cache.k[0], 9)
     tiny = LibraConfig.tiny()
     tcache = M.init_cache(tiny, B, 128, quantized=True)
     assert not DA.decode_kernel_applicable(tiny, tcache.k[0], 1)

@@ -159,3 +159,23 @@ def test_spec_rejects_sampling_and_dual(stack):
     with pytest.raises(ValueError):
         g(t2i, GenerationConfig(max_new_tokens=4, eos_token_id=-1,
                                 spec_decode=3))
+
+
+def test_spec_kv_quant_through_kernel(monkeypatch, stack):
+    """Force the Pallas decode-attention kernel (interpret mode): the
+    normal decode runs it at Nq=1 and the spec verify at Nq=gamma+1; both
+    paths must agree token-for-token."""
+    from libra_tpu.ops.pallas import decode_attention as DA
+    monkeypatch.setattr(DA, "INTERPRET", True)
+    cfg, params = stack
+    # kernel needs 128-aligned head_dim: widen heads
+    cfg = LibraConfig.tiny(hidden_size=256, num_attention_heads=2)
+    params = M.init_params(jax.random.PRNGKey(2), cfg)
+    inp = _prompt_with_image(cfg, B=2, text_len=4, seed=7)
+    N = inp["vision_indices"].shape[1]
+    g = Generator(params, cfg)
+    base = GenerationConfig(max_new_tokens=8, eos_token_id=-1,
+                            decode_modality="text", kv_quant=True)
+    ref = g(inp, base)
+    spec = g(inp, dataclasses.replace(base, spec_decode=3))
+    _assert_parity(spec, ref, N)
