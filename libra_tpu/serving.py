@@ -33,6 +33,10 @@ The host scheduler interleaves AT MOST ONE prefill between decode chunks
 while any slot is decoding (VERDICT r3 item 7): a burst of queued prompts
 stalls active slots by one bucketed prefill per chunk, not by the whole
 backlog; dispatches are async, so the host never blocks the device queue.
+Requests may carry `arrival_s` (open-loop load): the scheduler admits each
+request only once its arrival time passes, sleeping when the pool is idle,
+and TTFT is measured from arrival -- a Poisson stream therefore yields
+honest continuous-serving latency percentiles rather than burst queue-wait.
 
 Multi-codebook sampling, EOI->newline forcing, vision_indices carry,
 2D-RoPE position carry and the 2D-mode hidden ring match
@@ -74,6 +78,11 @@ class Request:
     # by the on-device encode inside prefill)
     pixels: Optional[np.ndarray] = None
     img_start: int = 0
+    # open-loop load: seconds AFTER run() start at which this request
+    # becomes visible to the scheduler (None = already queued at start).
+    # TTFT is measured from arrival, so p50/p95 under a Poisson stream are
+    # honest continuous-serving numbers, not burst queue-wait.
+    arrival_s: Optional[float] = None
 
 
 @dataclass
@@ -81,7 +90,8 @@ class Result:
     request_id: int
     tokens: np.ndarray           # (Q, num_generated) generated ids
     finish_reason: str = "eos"   # "eos" | "length" | "capacity"
-    ttft_s: Optional[float] = None   # run-start -> first-token readback
+    ttft_s: Optional[float] = None   # arrival -> first-token readback
+    #   (arrival = run start when the request carries no arrival_s)
 
 
 def _slice_dim(buf, slot, axis):
@@ -456,9 +466,22 @@ class ServingEngine:
                     raise ValueError(
                         "request %r carries pixels but the engine was "
                         "built without vq_params/vq_cfg" % (r.request_id,))
-        queue = list(requests)
+        # stable sort by arrival: ties (and the all-None burst case) keep
+        # submission order, so the no-arrivals path is byte-identical
+        queue = sorted(requests, key=lambda r: r.arrival_s or 0.0)
         results: List[Result] = []
         t0 = time.perf_counter()
+
+        def n_arrived():
+            """Length of the leading queue prefix visible to the scheduler
+            (queue is arrival-sorted, so visibility is a prefix)."""
+            now = time.perf_counter() - t0
+            n = 0
+            for r in queue:
+                if r.arrival_s is not None and r.arrival_s > now:
+                    break
+                n += 1
+            return n
 
         cache = self._init_cache()
         D = cfg.hidden_size
@@ -508,7 +531,7 @@ class ServingEngine:
 
         def prestage():
             n = 0
-            for r in queue:
+            for r in queue[:n_arrived()]:
                 if n >= 2 * B:
                     break
                 if bucketed(r.input_ids.shape[-1]) + r.max_new_tokens > S:
@@ -526,19 +549,21 @@ class ServingEngine:
             nonlocal cache, mask_buf, logits, vi_last, pos_last, hist
             dispatches = 0
             while True:
-                while queue:
+                na = n_arrived()
+                while na:
                     req = queue[0]
                     if bucketed(req.input_ids.shape[-1]) \
                             + req.max_new_tokens <= S:
                         break
                     # can never fit any slot: reject up front
                     queue.pop(0)
+                    na -= 1
                     staged.pop(req.request_id, None)
                     results.append(Result(req.request_id,
                                           np.zeros((Q, 0), np.int64),
                                           "capacity"))
                 free = [s for s in range(B) if not active[s]]
-                if not queue or not free:
+                if not na or not free:
                     return
                 if limit is not None and dispatches >= limit:
                     return
@@ -548,7 +573,7 @@ class ServingEngine:
                 if has_px and self.vq_params is None:
                     raise ValueError("pixels requests need vq_params/vq_cfg")
                 group = [head]
-                for r in queue[1:]:
+                for r in queue[1:na]:
                     if (len(group) >= len(free)
                             or bucketed(r.input_ids.shape[-1]) != Nb
                             or (r.pixels is not None) != has_px
@@ -588,7 +613,17 @@ class ServingEngine:
 
         prestage()
         try_fill()
-        while active.any():
+        while active.any() or queue:
+            if not active.any():
+                # pool idle, work still queued: the head either hasn't
+                # arrived yet (sleep until it does) or just became visible
+                nxt = queue[0].arrival_s or 0.0
+                wait = t0 + nxt - time.perf_counter()
+                if wait > 0:
+                    time.sleep(wait)
+                prestage()
+                try_fill()
+                continue
             rng, step_rng = jax.random.split(rng)
             with self._qk_ctx():
                 (toks, acts, cache, mask_buf, logits, vi_last, pos_last,
@@ -611,7 +646,7 @@ class ServingEngine:
                     if not acts_np[k, slot]:
                         break
                     if slot_ttft[slot] is None:
-                        slot_ttft[slot] = t_now - t0
+                        slot_ttft[slot] = t_now - t0 - (req.arrival_s or 0.0)
                     slot_toks[slot].append(toks_np[k, :, slot])
                     budget[slot] -= 1
                     if (toks_np[k, :, slot] == gen.eos_token_id).any():

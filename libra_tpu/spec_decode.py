@@ -24,10 +24,11 @@ standard decode loop.
 Restrictions (enforced by Generator._get_fn): greedy only (sampling would
 need distribution-preserving rejection sampling) and text-mode decode only
 (resolved decode_modality == "text": image blocks are multi-codebook and
-never copy from history). Works with int8 KV caches: the fused Nq=1 decode
-kernel does not apply to the (gamma+1)-token verify step, which takes the
-XLA dequant path instead -- still a large net win since weights, not KV,
-dominate decode bytes.
+never copy from history). Works with int8 KV caches: the fused decode-
+attention kernel accepts query blocks up to Nq=8, so (gamma+1)-token
+verify steps with gamma <= 7 read the int8 cache through the kernel just
+like the standard Nq=1 decode (per-query flags and in-block causality
+ride the bias; larger gammas fall back to the XLA dequant path).
 
 Batch rows desync (each accepts a different prefix), which the model
 already supports: KVCache.index may be a (B,) vector (the serving engine's

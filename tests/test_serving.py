@@ -339,3 +339,37 @@ def test_engine_t2i_request_generates_image_block(tiny):
     np.testing.assert_array_equal(res.tokens, want_toks)
     # the completed image block is vision-vocab; EOI is the block's last id
     assert (res.tokens[:, :Mv - 1] >= cfg.vocab_size).all()
+
+
+def test_engine_poisson_arrivals(tiny):
+    """Open-loop load: requests carry arrival_s offsets. The scheduler
+    admits each only after its arrival, per-request tokens still match a
+    standalone Generator run exactly, and TTFT is measured from ARRIVAL
+    (every ttft_s is set and non-negative)."""
+    cfg, params = tiny
+    gen = GenerationConfig(eos_token_id=-1)
+    pairs = _requests(cfg, 6, max_new=4)
+    for i, (req, _) in enumerate(pairs):
+        req.arrival_s = 0.03 * i
+    eng = ServingEngine(params, cfg, max_batch=2, max_len=128, gen=gen)
+    results = eng.run([r for r, _ in pairs])
+    assert [r.request_id for r in results] == list(range(6))
+    assert all(r.ttft_s is not None and r.ttft_s >= 0 for r in results)
+    _check_parity(results, pairs, params, cfg)
+
+
+def test_engine_idle_gap_arrival(tiny):
+    """A request arriving AFTER the pool drains: the scheduler sleeps
+    through the idle gap, admits it on arrival, and its tokens are exact.
+    The late request's TTFT excludes its own arrival offset."""
+    cfg, params = tiny
+    gen = GenerationConfig(eos_token_id=-1)
+    pairs = _requests(cfg, 2, max_new=3)
+    pairs[1][0].arrival_s = 1.5    # far beyond request 0's finish on CPU?
+    # (tiny-config CPU steps are ms-scale only when jitted+warm; the gap
+    # just needs to be > 0 -- correctness must not depend on its size)
+    eng = ServingEngine(params, cfg, max_batch=2, max_len=128, gen=gen)
+    results = eng.run([r for r, _ in pairs])
+    assert [r.request_id for r in results] == [0, 1]
+    assert results[1].ttft_s is not None
+    _check_parity(results, pairs, params, cfg)
