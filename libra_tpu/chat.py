@@ -101,18 +101,29 @@ def _turn_impl(params, cache, mask_buf, ids, vi, sig, pmask, pos_last,
         pos = pos_last[:, None] + jnp.cumsum(pmask, axis=1)
         pos_last_new = pos[:, -1]
 
+    impl = gen.attn_impl
+    if impl == "auto":
+        # the delta prompt pass runs the fused flash bridged-attention
+        # kernel on TPU, exactly as generation._prefill resolves it
+        impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
     from libra_tpu.ops.qlinear import a8_enabled
     with a8_enabled(gen.a8_prefill):
         # w8a8 on the compute-bound delta pass only; the decode body below
         # traces OUTSIDE this context (exact weight-only dequant), as in
         # generation._generate_impl
         out = M.forward(params, cfg, ids, mask_buf, vi, sig,
-                        position_ids=pos, cache=cache, text_span=text_span)
+                        position_ids=pos, cache=cache, attn_impl=impl,
+                        text_span=text_span)
 
     vi_last = vi[:, -1]          # delta is LEFT-padded: last column is real
     logits = _last_position_logits(params, cfg, out.hidden_states,
                                    vi_last < Mv, vi_last)
     toks0 = jnp.full((Q, B, max_new), gen.pad_token_id, jnp.int32)
+    if max_new == 0:
+        # prefill-only turn: context injected, nothing generated (the
+        # while_loop body can't even trace over a zero-width buffer)
+        return (toks0, jnp.zeros((B,), jnp.int32), out.cache, mask_buf,
+                vi_last, pos_last_new)
 
     def cond(st):
         return (st[0] < max_new) & ~jnp.all(st[7])
@@ -202,6 +213,9 @@ class ChatSession:
             if vq_params is not None:
                 vq_params = jax.device_put(vq_params)
         self.params = params
+        if (vq_params is None) != (vq_cfg is None):
+            raise ValueError("vq_params and vq_cfg must be given together "
+                             "(raw-pixels turns need both)")
         self.vq_params = vq_params
         self.vq_cfg = vq_cfg
         from libra_tpu.ops.qlinear import kernel_enabled
@@ -251,7 +265,10 @@ class ChatSession:
         coninous_signal (image turns). Returns the turn's generated
         tokens; the cache/history advances in place."""
         cfg, gen = self.cfg, self.gen
-        max_new = max_new_tokens or gen.max_new_tokens
+        # None-check, not truthiness: max_new_tokens=0 is a legal
+        # prefill-only turn (inject context, generate nothing)
+        max_new = (gen.max_new_tokens if max_new_tokens is None
+                   else max_new_tokens)
         ids = np.asarray(inputs["input_ids"])
         vi = np.asarray(inputs["vision_indices"])
         Q, B, Nd = ids.shape
@@ -266,6 +283,11 @@ class ChatSession:
             if self.vq_params is None:
                 raise ValueError("pixels turns need vq_params/vq_cfg")
             pixels = jnp.asarray(np.asarray(pixels))
+            side = self.vq_cfg.clip.image_size
+            if tuple(pixels.shape) != (B, side, side, 3):
+                raise ValueError(
+                    "pixels shape %r != the session's CLIP input "
+                    "(%d, %d, %d, 3)" % (tuple(pixels.shape), B, side, side))
             img_start = np.asarray(img_start, np.int32)
             sig = np.zeros((B, Nd, cfg.contiguous_signal_size), np.float32)
         else:

@@ -208,8 +208,18 @@ class ServingEngine:
             if vq_params is not None:
                 vq_params = jax.device_put(vq_params)
         self.params = params
+        if (vq_params is None) != (vq_cfg is None):
+            raise ValueError("vq_params and vq_cfg must be given together "
+                             "(raw-pixels prefill needs both)")
         self.vq_params = vq_params
         self.vq_cfg = vq_cfg
+        # resolve "auto" once: the prompt pass runs the fused flash
+        # bridged-attention kernel on TPU, exactly as generation._prefill
+        self._attn_impl = self.gen.attn_impl
+        if self._attn_impl == "auto":
+            self._attn_impl = ("pallas"
+                               if jax.default_backend() not in ("cpu",)
+                               else "xla")
         self.B = max_batch
         # quantized caches round up to 128 so the fused int8 decode-
         # attention kernel (the default quantized decode path) always
@@ -311,6 +321,7 @@ class ServingEngine:
                     # keeps exact weight-only dequant), as in generation.py
                     out = M.forward(params, cfg, ids, row,
                                     vi, sig, position_ids=pos, cache=piece,
+                                    attn_impl=self._attn_impl,
                                     text_span=text_span)
                 flag_last = vi[:, -1] < cfg.max_vision_token_length
                 if self._is_2d:
@@ -458,14 +469,22 @@ class ServingEngine:
         # lang-only body (~half the weight bytes/step)
         lang_only = (gen.decode_modality == "text"
                      or (gen.decode_modality == "auto" and all(tails_text)))
-        if self.vq_params is None:
-            # validate up front: raising from inside the scheduling loop
-            # would discard every already-completed Result
-            for r in requests:
-                if r.pixels is not None:
-                    raise ValueError(
-                        "request %r carries pixels but the engine was "
-                        "built without vq_params/vq_cfg" % (r.request_id,))
+        # validate up front: raising from inside the scheduling loop would
+        # discard every already-completed Result
+        for r in requests:
+            if r.pixels is None:
+                continue
+            if self.vq_params is None:
+                raise ValueError(
+                    "request %r carries pixels but the engine was "
+                    "built without vq_params/vq_cfg" % (r.request_id,))
+            side = self.vq_cfg.clip.image_size
+            if tuple(r.pixels.shape) != (side, side, 3):
+                raise ValueError(
+                    "request %r pixels shape %r != the engine's CLIP "
+                    "input (%d, %d, 3)" % (r.request_id,
+                                           tuple(r.pixels.shape),
+                                           side, side))
         # stable sort by arrival: ties (and the all-None burst case) keep
         # submission order, so the no-arrivals path is byte-identical
         queue = sorted(requests, key=lambda r: r.arrival_s or 0.0)
@@ -577,6 +596,10 @@ class ServingEngine:
                     if (len(group) >= len(free)
                             or bucketed(r.input_ids.shape[-1]) != Nb
                             or (r.pixels is not None) != has_px
+                            # pixel SHAPES are part of the program shape:
+                            # mixed resolutions must not share a group
+                            or (has_px
+                                and r.pixels.shape != head.pixels.shape)
                             or Nb + r.max_new_tokens > S):
                         break
                     group.append(r)

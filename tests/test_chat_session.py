@@ -293,3 +293,27 @@ def test_turn_with_pixels_matches_preencoded(tiny):
         sess_a.ask({"input_ids": ids[None].repeat(2, 0),
                     "vision_indices": vi,
                     "pixels": img[None], "img_start": np.array([pos])})
+
+
+def test_prefill_only_turn(tiny):
+    """max_new_tokens=0 is a legal prefill-only turn (inject context,
+    generate nothing): zero tokens come back, the cache/history advance,
+    and the NEXT turn equals a full re-prefill of both deltas."""
+    cfg, params = tiny
+    B, max_new = 2, 4
+    gen = GenerationConfig(eos_token_id=-1)
+    sess = ChatSession(params, cfg, batch=B, max_len=128, gen=gen,
+                       delta_bucket=1)
+    t1 = _turn1_inputs(cfg, B)
+    r1 = sess.ask(t1, max_new_tokens=0)
+    assert np.asarray(r1.tokens).shape[-1] == 0
+    assert (np.asarray(r1.num_generated) == 0).all()
+
+    t2 = _text_delta(cfg, B, 3, seed=11)
+    r2 = sess.ask(t2, max_new_tokens=max_new)
+    full = _concat_history(cfg, [t1, t2], [])
+    want = Generator(params, cfg)(
+        full, GenerationConfig(max_new_tokens=max_new, eos_token_id=-1))
+    np.testing.assert_array_equal(
+        np.asarray(r2.tokens),
+        np.asarray(want.sequences)[:, :, full["input_ids"].shape[-1]:])

@@ -373,3 +373,33 @@ def test_engine_idle_gap_arrival(tiny):
     assert [r.request_id for r in results] == [0, 1]
     assert results[1].ttft_s is not None
     _check_parity(results, pairs, params, cfg)
+
+
+def test_engine_pixels_shape_validated_up_front(tiny):
+    """Pixels whose shape doesn't match the engine's CLIP input are
+    rejected before any work starts (a mid-run shape error would discard
+    every completed Result), as is building an engine with vq_params but
+    no vq_cfg."""
+    from libra_tpu.config import VQGANConfig
+    from libra_tpu.models import vqgan as vqgan_model
+
+    cfg, params = tiny
+    vq_cfg = VQGANConfig.tiny()
+    vq_params = vqgan_model.init_params(jax.random.PRNGKey(1), vq_cfg)
+    with pytest.raises(ValueError, match="together"):
+        ServingEngine(params, cfg, max_batch=1, max_len=64,
+                      vq_params=vq_params)
+
+    eng = ServingEngine(params, cfg, max_batch=1, max_len=64,
+                        gen=GenerationConfig(eos_token_id=-1),
+                        vq_params=vq_params, vq_cfg=vq_cfg)
+    Mv = cfg.max_vision_token_length
+    N = Mv + 2
+    bad = Request(request_id=0,
+                  input_ids=np.ones((cfg.vision_codebook_num, N), np.int64),
+                  vision_indices=np.full((N,), Mv, np.int64),
+                  max_new_tokens=2,
+                  pixels=np.zeros((20, 20, 3), np.float32), img_start=0)
+    with pytest.raises(ValueError, match="pixels shape"):
+        eng.run([bad])
+    assert eng._prefill_fns == {}    # nothing compiled before the raise

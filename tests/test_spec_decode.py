@@ -88,9 +88,11 @@ def test_spec_matches_greedy_with_eos_desync(stack):
 
 
 def test_spec_matches_kv_quant(stack):
-    """gamma+1-token verify falls to the XLA dequant path over the int8
-    head-major cache (the fused kernel is Nq=1-only) -- results must not
-    change."""
+    """int8 head-major KV cache under spec decode on CPU, where the fused
+    kernel is inactive: the gamma+1-token verify runs the XLA dequant path
+    -- results must match the standard decode. (The kernel path itself,
+    Nq<=8 q-blocks, is covered by test_spec_kv_quant_through_kernel in
+    interpret mode.)"""
     cfg, params = stack
     inp = _prompt_with_image(cfg, B=2, text_len=5, seed=3)
     N = inp["vision_indices"].shape[1]
