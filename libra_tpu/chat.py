@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from libra_tpu.config import LibraConfig
-from libra_tpu.generation import (GenerationConfig, _last_position_logits,
+from libra_tpu.generation import (GenerationConfig, _last_position_logits, decode_micro_step,
                                   sample_tokens)
 from libra_tpu.models import libra as M
 
@@ -146,22 +146,10 @@ def _turn_impl(params, cache, mask_buf, ids, vi, sig, pmask, pos_last,
         mask_buf = M._write_seq(mask_buf,
                                 active[:, None].astype(mask_buf.dtype),
                                 cache.index)
-        vi_new = jnp.where(active, jnp.minimum(vi_last + 1, Mv), vi_last)
-        if cfg.use_2d_rope:
-            pos_new = jnp.where(active, pos_last + _rope_inc(cfg, vi_new),
-                                pos_last)
-            pos_ids = (pos_new[:, None]
-                       + offset_tab[jnp.clip(vi_new, 0, Mv)])[:, :, None]
-        else:
-            pos_new = jnp.where(active, pos_last + 1, pos_last)
-            pos_ids = pos_new[:, None]
-        step = M.forward(params, cfg, tok[:, :, None], mask_buf,
-                         vi_new[:, None], None, position_ids=pos_ids,
-                         cache=cache, lang_only=lang_only)
-        logits = _last_position_logits(params, cfg, step.hidden_states,
-                                       vi_new < Mv, vi_new,
-                                       lang_only=lang_only)
-        return (t + 1, toks, mask_buf, step.cache, logits, vi_new, pos_new,
+        logits, cache, vi_new, pos_new, _ = decode_micro_step(
+            params, cfg, tok, mask_buf, cache, vi_last, pos_last,
+            active=active, lang_only=lang_only)
+        return (t + 1, toks, mask_buf, cache, logits, vi_new, pos_new,
                 finished, num_gen, rng)
 
     st = (jnp.int32(0), toks0, mask_buf, out.cache, logits, vi_last,

@@ -141,6 +141,53 @@ def _last_position_logits(params, cfg: LibraConfig, hidden: jax.Array,
     return M.force_eoi_newline(cfg, logits, vi_last)       # (Q, B, Vc)
 
 
+def decode_micro_step(params, cfg: LibraConfig, tok, mask_buf, cache,
+                      vi_last, pos_last, *, active=None, hist=None,
+                      is_2d=False, lang_only=False):
+    """One decode step's shared core, used by all three decode loops
+    (generation._generate_impl, serving._decode, chat._turn_impl): advance
+    vision_indices (auto-increment clamped at text, reference
+    modeling_libra.py:1273-1281) and positions (2D-RoPE base: +1 on
+    text/BOI, R+1 on EOI, 0 inside images), run the cached single-token
+    forward, assemble last-position logits.
+
+    `tok` (Q, B) is this step's input token, already emission-masked by
+    the caller, and `mask_buf` already carries the caller's mask-write
+    policy for the token's slot. active=None: lockstep advance
+    (generation's while_loop -- finished rows emit pads but vi/pos keep
+    advancing, clamped at text); active (B,) bool: frozen rows keep their
+    vi/pos (serving slots, chat turns). hist: (B, R-1, D) hidden ring or
+    None; is_2d selects the 2D-prediction ring update and up-neighbour.
+    Returns (logits, cache, vi_new, pos_new, hist)."""
+    Mv = cfg.max_vision_token_length
+
+    def adv(new, old):
+        return new if active is None else jnp.where(active, new, old)
+
+    vi_new = adv(jnp.minimum(vi_last + 1, Mv), vi_last)
+    if cfg.use_2d_rope:
+        inc = jnp.where((vi_new == Mv) | (vi_new == 0), 1, 0)
+        inc = jnp.where(vi_new == Mv - 1,
+                        cfg.image_feature_resolution + 1, inc)
+        pos_new = adv(pos_last + inc, pos_last)
+        offset_tab = M.make_2d_pos_offset(cfg)
+        pos_ids = (pos_new[:, None]
+                   + offset_tab[jnp.clip(vi_new, 0, Mv)])[:, :, None]
+    else:
+        pos_new = adv(pos_last + 1, pos_last)
+        pos_ids = pos_new[:, None]
+    step = M.forward(params, cfg, tok[:, :, None], mask_buf,
+                     vi_new[:, None], None, position_ids=pos_ids,
+                     cache=cache, lang_only=lang_only)
+    h_up = None if hist is None else hist[:, 0]   # R-1 steps back (2d)
+    logits = _last_position_logits(params, cfg, step.hidden_states,
+                                   vi_new < Mv, vi_new, h_up=h_up,
+                                   lang_only=lang_only)
+    if hist is not None and is_2d:
+        hist = jnp.concatenate([hist[:, 1:], step.hidden_states], axis=1)
+    return logits, step.cache, vi_new, pos_new, hist
+
+
 class PrefillState(NamedTuple):
     """Everything the decode loop needs after the prompt pass (shared by
     the standard `_generate_impl` loop and spec_decode's verify loop)."""
@@ -277,14 +324,12 @@ def _generate_impl(params, input_ids, attention_mask, vision_indices,
                    gen: GenerationConfig, vq_cfg=None,
                    cache_shardings=None):
     Q, B, N = input_ids.shape
-    Mv = cfg.max_vision_token_length
     is_2d = cfg.vision_prediction_mode == "2d"
     st = _prefill(params, input_ids, attention_mask, vision_indices,
                   contiguous_signal, vq_params, pixels, img_start, cfg=cfg,
                   gen=gen, vq_cfg=vq_cfg, cache_shardings=cache_shardings)
     tokens, mask_buf, logits = st.tokens, st.mask_buf, st.logits
     vi_last, last_pos, hist = st.vi_last, st.last_pos, st.hist
-    offset_tab = st.offset_tab
 
     lang_only = gen.decode_modality == "text"
 
@@ -310,32 +355,10 @@ def _generate_impl(params, input_ids, attention_mask, vision_indices,
             tokens, next_tok[:, :, None].astype(tokens.dtype), (0, 0, slot))
         mask_buf = jax.lax.dynamic_update_slice(
             mask_buf, jnp.ones((B, 1), mask_buf.dtype), (0, slot))
-        # vision_indices auto-increment, clamped at text (reference:
-        # _update_model_kwargs_for_generation, modeling_libra.py:1273-1281)
-        vi_new = jnp.minimum(vi_last + 1, Mv)
-        if cfg.use_2d_rope:
-            # base advances by 1 on text/BOI, R+1 on EOI, 0 inside images
-            inc = jnp.where((vi_new == Mv) | (vi_new == 0), 1, 0)
-            inc = jnp.where(vi_new == Mv - 1,
-                            cfg.image_feature_resolution + 1, inc)
-            new_pos = last_pos + inc
-            pos_ids = (new_pos[:, None]
-                       + offset_tab[jnp.clip(vi_new, 0, Mv)])[:, :, None]
-        else:
-            new_pos = last_pos + 1
-            pos_ids = new_pos[:, None]
-
-        step = M.forward(params, cfg, next_tok[:, :, None], mask_buf,
-                         vi_new[:, None], None,
-                         position_ids=pos_ids, cache=cache,
-                         lang_only=lang_only)
-        h_up = hist[:, 0]   # hidden from R-1 steps back
-        logits = _last_position_logits(params, cfg, step.hidden_states,
-                                       vi_new < Mv, vi_new, h_up=h_up,
-                                       lang_only=lang_only)
-        new_hist = jnp.concatenate(
-            [hist[:, 1:], step.hidden_states], axis=1) if is_2d else hist
-        return (t + 1, tokens, mask_buf, step.cache, logits, vi_new,
+        logits, cache, vi_new, new_pos, new_hist = decode_micro_step(
+            params, cfg, next_tok, mask_buf, cache, vi_last, last_pos,
+            hist=hist, is_2d=is_2d, lang_only=lang_only)
+        return (t + 1, tokens, mask_buf, cache, logits, vi_new,
                 new_pos, rng, finished, num_gen, new_hist)
 
     init = (jnp.int32(0), tokens, mask_buf, st.cache, logits, vi_last,

@@ -62,7 +62,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from libra_tpu.config import LibraConfig
-from libra_tpu.generation import GenerationConfig, _last_position_logits, sample_tokens
+from libra_tpu.generation import (GenerationConfig, _last_position_logits,
+                                  decode_micro_step, sample_tokens)
 from libra_tpu.models import libra as M
 
 
@@ -383,7 +384,6 @@ class ServingEngine:
         the stream ending in text)."""
         if lang_only not in self._decode_fns:
             cfg, gen = self.cfg, self.gen
-            Mv = cfg.max_vision_token_length
             K = self.decode_chunk
 
             def step(params, carry):
@@ -398,34 +398,11 @@ class ServingEngine:
                 mask_buf = M._write_seq(
                     mask_buf, active[:, None].astype(mask_buf.dtype),
                     cache.index)
-                vi_new = jnp.where(active, jnp.minimum(vi_last + 1, Mv),
-                                   vi_last)
-                if cfg.use_2d_rope:
-                    # base advances 1 on text/BOI, R+1 on EOI, 0 in-image
-                    # (generation._generate_impl's carry)
-                    inc = jnp.where((vi_new == Mv) | (vi_new == 0), 1, 0)
-                    inc = jnp.where(vi_new == Mv - 1,
-                                    cfg.image_feature_resolution + 1, inc)
-                    pos_new = jnp.where(active, pos_last + inc, pos_last)
-                    offset_tab = M.make_2d_pos_offset(cfg)
-                    pos_ids = (pos_new[:, None]
-                               + offset_tab[jnp.clip(vi_new, 0,
-                                                     Mv)])[:, :, None]
-                else:
-                    pos_new = jnp.where(active, pos_last + 1, pos_last)
-                    pos_ids = pos_new[:, None]
-                out = M.forward(params, cfg, tok[:, :, None],
-                                mask_buf, vi_new[:, None], None,
-                                position_ids=pos_ids, cache=cache,
-                                lang_only=lang_only)
-                h_up = hist[:, 0]
-                logits = _last_position_logits(
-                    params, cfg, out.hidden_states, vi_new < Mv,
-                    vi_new, h_up=h_up, lang_only=lang_only)
-                new_hist = (jnp.concatenate(
-                    [hist[:, 1:], out.hidden_states], axis=1)
-                    if self._is_2d else hist)
-                carry = (out.cache, mask_buf, logits, vi_new, pos_new,
+                logits, cache, vi_new, pos_new, new_hist = decode_micro_step(
+                    params, cfg, tok, mask_buf, cache, vi_last, pos_last,
+                    active=active, hist=hist, is_2d=self._is_2d,
+                    lang_only=lang_only)
+                carry = (cache, mask_buf, logits, vi_new, pos_new,
                          active_next, budget, new_hist, rng)
                 return carry, (tok, active)
 
