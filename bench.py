@@ -585,6 +585,19 @@ def bench_serving(B=4, n_requests=24, max_new=64, decode_chunk=16):
         "serving_poisson_p50_ttft_ms": round(1000 * pct(ttfts, 0.5), 1),
         "serving_poisson_p95_ttft_ms": round(1000 * pct(ttfts, 0.95), 1),
     })
+
+    # n-gram speculative decode in the engine (draft+verify chunk): same
+    # burst; a CEILING number on random weights (see bench_spec_decode)
+    import dataclasses
+    eng = ServingEngine(params, cfg, max_batch=B, max_len=768,
+                        gen=dataclasses.replace(gen, spec_decode=3),
+                        prompt_bucket=640, decode_chunk=decode_chunk)
+    eng.run(make_reqs(2 * B - 1))
+    t0 = time.perf_counter()
+    results = eng.run(make_reqs(n_requests))
+    dt = time.perf_counter() - t0
+    total = sum(r.tokens.shape[-1] for r in results)
+    out["serving_spec_tok_s"] = round(total / dt, 2)
     return out
 
 

@@ -233,6 +233,19 @@ class ServingEngine:
         while self._group_sizes[-1] * 2 <= max_batch:
             self._group_sizes.append(self._group_sizes[-1] * 2)
         self._decode_fns: Dict[bool, Any] = {}   # keyed on lang_only
+        # speculative decoding (gen.spec_decode = gamma > 0): the decode
+        # chunk becomes a scan of draft+verify iterations emitting up to
+        # gamma+1 tokens per slot per step -- same restrictions as the
+        # Generator (greedy, text-resolved streams)
+        self._gamma = int(self.gen.spec_decode or 0)
+        if self._gamma:
+            if self.gen.do_sample:
+                raise ValueError("spec_decode requires greedy decoding")
+            if self.gen.decode_modality == "dual":
+                raise ValueError(
+                    "spec_decode is text-mode only (decode_modality "
+                    "'text' or 'auto' over an all-text stream)")
+        self._spec_fn = None
         self._is_2d = cfg.vision_prediction_mode == "2d"
         self._Rb = max(cfg.image_feature_resolution - 1, 1)
         # the Pallas int8 kernel is opaque to GSPMD: under a TP mesh the
@@ -271,7 +284,7 @@ class ServingEngine:
             cfg = self.cfg
 
             def f(params, cache, mask_buf, logits_buf, vi_buf, pos_buf,
-                  hist_buf, reqs, slots, vq_params=None):
+                  hist_buf, hist_ids, reqs, slots, vq_params=None):
                 # reqs: tuple of k per-request dicts, PRE-STAGED on device
                 # at enqueue time (async device_put overlapping the decode
                 # chunks) -- stacking happens inside the program, so the
@@ -361,14 +374,19 @@ class ServingEngine:
                     hist_buf = jax.lax.dynamic_update_slice_in_dim(
                         hist_buf, h_rows[i:i + 1].astype(hist_buf.dtype),
                         s_i, axis=0)
+                    # codebook-0 token history row (spec-decode drafting;
+                    # bucket-padding slots carry mask 0 => never drafted)
+                    hist_ids = dus(hist_ids,
+                                   ids[0, i:i + 1].astype(hist_ids.dtype),
+                                   (s_i, 0))
                 cache = _merge_slot_many(cache, out.cache, slots, k)
                 return (cache, mask_buf, logits_buf, vi_buf, pos_buf,
-                        hist_buf)
+                        hist_buf, hist_ids)
 
             # donate every carried buffer: prefill updates the ~1.6 GB
             # pooled cache and the slot-state rows in place
             self._prefill_fns[key] = jax.jit(
-                f, donate_argnums=(1, 2, 3, 4, 5, 6))
+                f, donate_argnums=(1, 2, 3, 4, 5, 6, 7))
         return self._prefill_fns[key]
 
     def _decode(self, lang_only: bool):
@@ -427,6 +445,128 @@ class ServingEngine:
                 f, donate_argnums=(1, 2, 3, 4, 5, 8))
         return self._decode_fns[lang_only]
 
+    def _spec_decode(self):
+        """Speculative decode chunk: `decode_chunk` draft+verify iterations
+        in one dispatch. Each iteration, per slot: the PENDING token (the
+        greedy argmax of the carried logits -- already known, K/V not yet
+        cached) is emitted, gamma bigram prompt-lookup drafts are guessed
+        from the slot's own token history (spec_decode._bigram_drafts),
+        and ONE (gamma+1)-token cached forward verifies them -- the
+        accepted prefix is emitted too, so every iteration emits 1..K
+        tokens per active slot at ~one token's weight traffic (decode is
+        weights-bound at pool sizes; see libra_tpu/spec_decode.py).
+        Exactness: every emitted token is the target model's own greedy
+        argmax (parity with the standard engine is tested token-for-token).
+
+        Differences vs spec_decode._spec_generate_impl: the bonus token is
+        NOT emitted in the iteration that computes it -- it becomes the
+        next iteration's pending (the carried logits row selects it), so
+        slot refills need no special casing. Inactive slots run the verify
+        on garbage confined to their own cache rows (cnt=0 restores their
+        mask window to zeros), exactly like the standard chunk."""
+        if self._spec_fn is None:
+            from libra_tpu.spec_decode import _bigram_drafts, _update_window
+            cfg, gen = self.cfg, self.gen
+            gamma, K = self._gamma, self._gamma + 1
+            Mv = cfg.max_vision_token_length
+            Q = cfg.vision_codebook_num
+            offset_tab = (M.make_2d_pos_offset(cfg) if cfg.use_2d_rope
+                          else None)
+
+            def step(params, carry):
+                (cache, mask_buf, hist_ids, last_logits, pos_last, active,
+                 budget) = carry
+                B = mask_buf.shape[0]
+                P = cache.index                                   # (B,)
+                pending = jnp.argmax(last_logits[0], axis=-1).astype(
+                    hist_ids.dtype)                               # (B,)
+                pending = jnp.where(active, pending, gen.pad_token_id)
+                # stage pending at slot P for the bigram matcher
+                hist_ids = jax.vmap(_update_window,
+                                    in_axes=(0, 0, 0, 0))(
+                    hist_ids, pending[:, None], P, active[:, None])
+                idx = jnp.arange(hist_ids.shape[1])
+                valid = (mask_buf > 0) | (idx[None] == P[:, None])
+                drafts = _bigram_drafts(hist_ids, valid, P, pending, gamma)
+                x = jnp.concatenate([pending[:, None], drafts], axis=1)
+
+                # one (gamma+1)-token verify forward at per-row windows
+                all_w = jnp.ones((K,), bool)
+                mask_v = jax.vmap(_update_window,
+                                  in_axes=(0, None, 0, None))(
+                    mask_buf, jnp.ones((K,), mask_buf.dtype), P, all_w)
+                pos_new = pos_last[:, None] + 1 + jnp.arange(K)[None]
+                if cfg.use_2d_rope:
+                    pos_ids = (pos_new[:, None, :]
+                               + offset_tab[Mv][None, :, None])
+                else:
+                    pos_ids = pos_new
+                vi_blk = jnp.full((B, K), Mv, jnp.int32)
+                ids_blk = jnp.broadcast_to(x[None], (Q, B, K))
+                out = M.forward(params, cfg, ids_blk, mask_v, vi_blk, None,
+                                position_ids=pos_ids, cache=cache,
+                                lang_only=True)
+                tl = M.compute_text_logits(params, out.hidden_states)
+                c = jnp.argmax(tl, axis=-1).astype(x.dtype)       # (B, K)
+
+                # accepted draft prefix; emitted block = pending + accepts
+                ok = drafts == c[:, :gamma]
+                a = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1),
+                            axis=1)
+                ar = jnp.arange(K)[None]
+                eos_in = (x == gen.eos_token_id) & (ar <= a[:, None])
+                any_eos = jnp.any(eos_in, axis=1)
+                first_eos = jnp.argmax(eos_in, axis=1)
+                cnt = jnp.where(any_eos, first_eos + 1, a + 1)
+                cnt = jnp.minimum(cnt, budget)
+                cnt = jnp.where(active, cnt, 0)
+                budget = budget - cnt
+                active = active & ~(any_eos & (first_eos < cnt)) \
+                    & (budget > 0)
+
+                # persist emitted tokens + keep exactly cnt cached slots
+                hist_ids = jax.vmap(_update_window,
+                                    in_axes=(0, 0, 0, 0))(
+                    hist_ids, x, P, ar < cnt[:, None])
+                mask_buf = jax.vmap(_update_window,
+                                    in_axes=(0, 0, 0, None))(
+                    mask_v, (ar < cnt[:, None]).astype(mask_buf.dtype),
+                    P, all_w)
+                cache = out.cache._replace(index=P + cnt)
+                pos_last = pos_last + cnt
+
+                # next pending rides the carried logits: the verify output
+                # at the last kept position predicts the token after the
+                # accepted prefix (the bonus when nothing truncated)
+                h_sel = jnp.take_along_axis(
+                    out.hidden_states,
+                    jnp.maximum(cnt - 1, 0)[:, None, None], axis=1)
+                last_logits = _last_position_logits(
+                    params, cfg, h_sel,
+                    jnp.zeros((B,), bool),           # vision flag: text rows
+                    jnp.full((B,), Mv, jnp.int32), lang_only=True)
+                carry = (cache, mask_buf, hist_ids, last_logits, pos_last,
+                         active, budget)
+                return carry, (x, cnt)
+
+            import functools
+
+            def f(params, cache, mask_buf, hist_ids, last_logits, pos_last,
+                  active, budget):
+                carry = (cache, mask_buf, hist_ids, last_logits, pos_last,
+                         active, budget)
+                body = functools.partial(step, params)
+                carry, (toks, cnts) = jax.lax.scan(
+                    lambda c, _: body(c), carry, None,
+                    length=self.decode_chunk)
+                (cache, mask_buf, hist_ids, logits, pos_last, active,
+                 budget) = carry
+                return (toks, cnts, cache, mask_buf, hist_ids,
+                        logits, pos_last)
+
+            self._spec_fn = jax.jit(f, donate_argnums=(1, 2, 3, 4, 5))
+        return self._spec_fn
+
     # -- host-side scheduler -------------------------------------------------
 
     def run(self, requests: List[Request]) -> List[Result]:
@@ -446,6 +586,10 @@ class ServingEngine:
         # lang-only body (~half the weight bytes/step)
         lang_only = (gen.decode_modality == "text"
                      or (gen.decode_modality == "auto" and all(tails_text)))
+        if self._gamma and not lang_only:
+            raise ValueError(
+                "spec_decode is text-mode only: this stream carries a "
+                "request ending inside an image block")
         # validate up front: raising from inside the scheduling loop would
         # discard every already-completed Result
         for r in requests:
@@ -486,6 +630,7 @@ class ServingEngine:
         vi_last = jnp.full((B,), cfg.max_vision_token_length, jnp.int32)
         pos_last = jnp.zeros((B,), jnp.int32)
         hist = jnp.zeros((B, self._Rb, D), cfg.compute_dtype)
+        hist_ids = jnp.zeros((B, S), jnp.int32)   # codebook-0 token history
         active = np.zeros((B,), bool)
         budget = np.zeros((B,), np.int32)
         slot_req: List[Optional[Request]] = [None] * B
@@ -530,7 +675,8 @@ class ServingEngine:
             for r in queue[:n_arrived()]:
                 if n >= 2 * B:
                     break
-                if bucketed(r.input_ids.shape[-1]) + r.max_new_tokens > S:
+                if (bucketed(r.input_ids.shape[-1]) + r.max_new_tokens
+                        + self._gamma > S):
                     continue    # try_fill will reject it; don't ship bytes
                 if r.request_id not in staged:
                     staged[r.request_id] = stage(r)
@@ -542,14 +688,17 @@ class ServingEngine:
             (prompt bucket, pixels?) program shape, as one B=k dispatch
             (k restricted to self._group_sizes). `limit` bounds the number
             of prefill DISPATCHES (1 while slots are decoding)."""
-            nonlocal cache, mask_buf, logits, vi_last, pos_last, hist
+            nonlocal cache, mask_buf, logits, vi_last, pos_last, hist, \
+                hist_ids
             dispatches = 0
             while True:
                 na = n_arrived()
                 while na:
                     req = queue[0]
-                    if bucketed(req.input_ids.shape[-1]) \
-                            + req.max_new_tokens <= S:
+                    # spec decode needs a gamma-slot margin: the last
+                    # verify window writes K/V at [P, P + gamma + 1)
+                    if (bucketed(req.input_ids.shape[-1])
+                            + req.max_new_tokens + self._gamma <= S):
                         break
                     # can never fit any slot: reject up front
                     queue.pop(0)
@@ -577,7 +726,7 @@ class ServingEngine:
                             # mixed resolutions must not share a group
                             or (has_px
                                 and r.pixels.shape != head.pixels.shape)
-                            or Nb + r.max_new_tokens > S):
+                            or Nb + r.max_new_tokens + self._gamma > S):
                         break
                     group.append(r)
                 k = max(g for g in self._group_sizes if g <= len(group))
@@ -588,10 +737,10 @@ class ServingEngine:
                              for r in group)
                 extra = (self.vq_params,) if has_px else ()
                 with self._qk_ctx():
-                    (cache, mask_buf, logits, vi_last, pos_last, hist) = \
-                        self._prefill(Nb, has_px, k)(
+                    (cache, mask_buf, logits, vi_last, pos_last, hist,
+                     hist_ids) = self._prefill(Nb, has_px, k)(
                             self.params, cache, mask_buf, logits, vi_last,
-                            pos_last, hist, reqs,
+                            pos_last, hist, hist_ids, reqs,
                             jnp.asarray(slots, jnp.int32), *extra)
                 for i, slot in enumerate(slots):
                     active[slot] = True
@@ -623,6 +772,43 @@ class ServingEngine:
                     time.sleep(wait)
                 prestage()
                 try_fill()
+                continue
+            if self._gamma:
+                with self._qk_ctx():
+                    (toks, cnts, cache, mask_buf, hist_ids, logits,
+                     pos_last) = self._spec_decode()(
+                        self.params, cache, mask_buf, hist_ids, logits,
+                        pos_last, jnp.asarray(active), jnp.asarray(budget))
+                prestage()
+                toks_np = np.asarray(toks)              # (K, B, gamma+1)
+                cnts_np = np.asarray(cnts)              # (K, B)
+                t_now = time.perf_counter()
+                for slot in range(B):
+                    if not active[slot]:
+                        continue
+                    req = slot_req[slot]
+                    for k in range(cnts_np.shape[0]):
+                        done = False
+                        for j in range(int(cnts_np[k, slot])):
+                            if slot_ttft[slot] is None:
+                                slot_ttft[slot] = (t_now - t0
+                                                   - (req.arrival_s or 0.0))
+                            tok = toks_np[k, slot, j]
+                            # text tokens are identical across codebooks
+                            slot_toks[slot].append(
+                                np.full((Q,), tok, np.int64))
+                            budget[slot] -= 1
+                            if tok == gen.eos_token_id:
+                                finish(slot, "eos")
+                                done = True
+                                break
+                            if budget[slot] <= 0:
+                                finish(slot, "length")
+                                done = True
+                                break
+                        if done:
+                            break
+                try_fill(limit=1 if active.any() else None)
                 continue
             rng, step_rng = jax.random.split(rng)
             with self._qk_ctx():

@@ -403,3 +403,77 @@ def test_engine_pixels_shape_validated_up_front(tiny):
     with pytest.raises(ValueError, match="pixels shape"):
         eng.run([bad])
     assert eng._prefill_fns == {}    # nothing compiled before the raise
+
+
+def test_engine_spec_decode_matches_standard(tiny):
+    """gen.spec_decode=gamma turns the decode chunk into draft+verify
+    iterations (>= 1 token per slot per iteration). Greedy text streams
+    must match the standard engine token-for-token, through slot refills
+    (the per-slot token-history rows feeding the bigram drafter are
+    rewritten on refill)."""
+    import dataclasses
+
+    cfg, params = tiny
+    pairs = _requests(cfg, 6, max_new=6)
+    gen = GenerationConfig(eos_token_id=-1, decode_modality="text")
+    eng_std = ServingEngine(params, cfg, max_batch=2, max_len=128, gen=gen)
+    eng_spec = ServingEngine(params, cfg, max_batch=2, max_len=128,
+                             gen=dataclasses.replace(gen, spec_decode=2))
+    r_std = eng_std.run([r for r, _ in pairs])
+    r_spec = eng_spec.run([r for r, _ in pairs])
+    assert [r.request_id for r in r_spec] == list(range(6))
+    for a, b in zip(r_std, r_spec):
+        np.testing.assert_array_equal(b.tokens, a.tokens,
+                                      err_msg=f"request {a.request_id}")
+    _check_parity(r_spec, pairs, params, cfg,
+                  gen_kw={"decode_modality": "text"})
+
+
+def test_engine_spec_decode_eos(tiny):
+    """EOS inside an accepted block truncates exactly where the standard
+    engine stops (device cnt truncation == host replay)."""
+    import dataclasses
+
+    cfg, params = tiny
+    pairs = _requests(cfg, 2, max_new=8)
+    gen0 = GenerationConfig(eos_token_id=-1, decode_modality="text")
+    probe = ServingEngine(params, cfg, max_batch=2, max_len=128, gen=gen0)
+    r_probe = probe.run([r for r, _ in pairs])
+    eos = int(r_probe[0].tokens[0, 3])   # token the model will emit
+    gen = GenerationConfig(eos_token_id=eos, decode_modality="text")
+    eng_std = ServingEngine(params, cfg, max_batch=2, max_len=128, gen=gen)
+    eng_spec = ServingEngine(params, cfg, max_batch=2, max_len=128,
+                             gen=dataclasses.replace(gen, spec_decode=3))
+    r_std = eng_std.run([r for r, _ in pairs])
+    r_spec = eng_spec.run([r for r, _ in pairs])
+    for a, b in zip(r_std, r_spec):
+        np.testing.assert_array_equal(b.tokens, a.tokens)
+        assert b.finish_reason == a.finish_reason
+
+
+def test_engine_spec_decode_rejects_non_text(tiny):
+    """Spec decode is greedy text-mode only: sampling and dual-modality
+    configs are rejected at construction; an 'auto' stream ending inside
+    an image block is rejected up front."""
+    import dataclasses
+
+    cfg, params = tiny
+    Mv = cfg.max_vision_token_length
+    base = GenerationConfig(eos_token_id=-1, spec_decode=2)
+    with pytest.raises(ValueError, match="greedy"):
+        ServingEngine(params, cfg, max_batch=1, max_len=64,
+                      gen=dataclasses.replace(base, do_sample=True,
+                                              temperature=1.0))
+    with pytest.raises(ValueError, match="text-mode"):
+        ServingEngine(params, cfg, max_batch=1, max_len=64,
+                      gen=dataclasses.replace(base,
+                                              decode_modality="dual"))
+    eng = ServingEngine(params, cfg, max_batch=1, max_len=64, gen=base)
+    N = 5
+    ids = np.ones((cfg.vision_codebook_num, N), np.int64)
+    vi = np.full((N,), Mv, np.int64)
+    vi[-1] = 2                       # ends inside an image block
+    req = Request(request_id=0, input_ids=ids, vision_indices=vi,
+                  max_new_tokens=2)
+    with pytest.raises(ValueError, match="text-mode"):
+        eng.run([req])
