@@ -477,3 +477,22 @@ def test_engine_spec_decode_rejects_non_text(tiny):
                   max_new_tokens=2)
     with pytest.raises(ValueError, match="text-mode"):
         eng.run([req])
+
+
+def test_engine_spec_decode_int8_kv(tiny):
+    """Spec decode over the int8 head-major KV cache (the verify block
+    writes per-slot quantized K/V at vector indices): parity with the
+    standard int8-KV engine."""
+    import dataclasses
+
+    cfg, params = tiny
+    pairs = _requests(cfg, 4, max_new=5)
+    gen = GenerationConfig(eos_token_id=-1, decode_modality="text",
+                           kv_quant=True)
+    eng_std = ServingEngine(params, cfg, max_batch=2, max_len=128, gen=gen)
+    eng_spec = ServingEngine(params, cfg, max_batch=2, max_len=128,
+                             gen=dataclasses.replace(gen, spec_decode=2))
+    r_std = eng_std.run([r for r, _ in pairs])
+    r_spec = eng_spec.run([r for r, _ in pairs])
+    for a, b in zip(r_std, r_spec):
+        np.testing.assert_array_equal(b.tokens, a.tokens)
