@@ -177,6 +177,12 @@ class ChatSession:
                 "ChatSession supports vision_prediction_mode='1d' only "
                 "(the 2d hidden ring would need dynamic stitching across "
                 "turns); use Generator/pipeline.chat for 2d checkpoints")
+        if gen is not None and gen.spec_decode:
+            raise NotImplementedError(
+                "ChatSession decodes with a scalar lockstep cache index; "
+                "speculative decoding desynchronizes rows (per-row "
+                "acceptance) -- use Generator(spec_decode=...) or the "
+                "ServingEngine for speculative text decode")
         self.cfg = cfg
         self.gen = gen or GenerationConfig()
         self.B = batch

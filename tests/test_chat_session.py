@@ -317,3 +317,13 @@ def test_prefill_only_turn(tiny):
     np.testing.assert_array_equal(
         np.asarray(r2.tokens),
         np.asarray(want.sequences)[:, :, full["input_ids"].shape[-1]:])
+
+
+def test_spec_decode_rejected(tiny):
+    """ChatSession's scalar lockstep cache index can't host per-row
+    speculative acceptance: constructing one with spec_decode must fail
+    loudly (Generator/ServingEngine carry the feature)."""
+    cfg, params = tiny
+    with pytest.raises(NotImplementedError, match="spec"):
+        ChatSession(params, cfg, batch=1, max_len=64,
+                    gen=GenerationConfig(eos_token_id=-1, spec_decode=2))
