@@ -585,20 +585,49 @@ def bench_serving(B=4, n_requests=24, max_new=64, decode_chunk=16):
         "serving_poisson_p50_ttft_ms": round(1000 * pct(ttfts, 0.5), 1),
         "serving_poisson_p95_ttft_ms": round(1000 * pct(ttfts, 0.95), 1),
     })
+    return out
 
-    # n-gram speculative decode in the engine (draft+verify chunk): same
-    # burst; a CEILING number on random weights (see bench_spec_decode)
+
+def bench_serving_spec(B=4, n_requests=24, max_new=64, decode_chunk=8,
+                       gamma=3):
+    """n-gram speculative decode in the engine (draft+verify chunks): the
+    bench_serving burst shape with gen.spec_decode=gamma. Own stage: the
+    spec engine compiles its own prefill+chunk programs (minutes through
+    the remote compiler), which would crowd the serving stage's timeout.
+    CEILING number on random weights (see bench_spec_decode's note)."""
     import dataclasses
-    eng = ServingEngine(params, cfg, max_batch=B, max_len=768,
-                        gen=dataclasses.replace(gen, spec_decode=3),
+
+    from libra_tpu.generation import GenerationConfig
+    from libra_tpu.serving import Request, ServingEngine
+    from __graft_entry__ import _example_batch, _flagship_cfg
+
+    cfg = _flagship_cfg(32)
+    params = _device_quantized_params(cfg)
+    gen = GenerationConfig(eos_token_id=-1, kv_quant=True, a8_prefill=True,
+                           decode_modality="text", spec_decode=gamma)
+    eng = ServingEngine(params, cfg, max_batch=B, max_len=768, gen=gen,
                         prompt_bucket=640, decode_chunk=decode_chunk)
-    eng.run(make_reqs(2 * B - 1))
+
+    def make_reqs(n):
+        reqs = []
+        for i in range(n):
+            tl = 16 + (i % 4) * 8
+            ids, _, vi, sig = _example_batch(cfg, B=1, text_len=tl, seed=i)
+            reqs.append(Request(
+                request_id=i, input_ids=np.asarray(ids[:, 0]),
+                vision_indices=np.asarray(vi[0]),
+                contiguous_signal=np.asarray(sig[0]),
+                max_new_tokens=max_new))
+        return reqs
+
+    eng.run(make_reqs(2 * B - 1))       # compile chunk + refill sizes
     t0 = time.perf_counter()
     results = eng.run(make_reqs(n_requests))
     dt = time.perf_counter() - t0
     total = sum(r.tokens.shape[-1] for r in results)
-    out["serving_spec_tok_s"] = round(total / dt, 2)
-    return out
+    return {"serving_spec_tok_s": round(total / dt, 2),
+            "serving_spec_gamma": gamma,
+            "serving_spec_requests": len(results)}
 
 
 def bench_chat_multiturn(B=4, text_len=32, delta_len=24, max_len=1024):
@@ -842,6 +871,7 @@ _STAGES = {
     "spec_decode": (lambda: bench_spec_decode(), 2400),
     "vqa_full32": (lambda: _vqa_stage(), 2400),
     "serving": (lambda: bench_serving(), 2400),
+    "serving_spec": (lambda: bench_serving_spec(), 2400),
     # larger slot pool: decode bytes/step are weights-dominated (6.6 GB
     # weights vs ~0.2 GB KV per slot at S=768), so doubling the pool
     # nearly doubles aggregate tokens/s at roughly equal step time
