@@ -61,6 +61,10 @@ class _Pending:
     event: threading.Event = field(default_factory=threading.Event)
     result: Any = None
     error: Optional[Exception] = None
+    # streaming requests: per-token (token, finish_reason) events land
+    # here from the scheduler thread; a (None, None) sentinel follows an
+    # error (the waiter re-raises from .error)
+    stream_q: Optional["queue.Queue"] = None
 
 
 class ServeApp:
@@ -166,14 +170,25 @@ class ServeApp:
                     wave.append(self._q.get_nowait())
                 except queue.Empty:
                     time.sleep(0.001)
+            streams = {p.request.request_id: p.stream_q
+                       for p in wave if p.stream_q is not None}
+
+            def on_token(rid, tok, reason):
+                q = streams.get(rid)
+                if q is not None:
+                    q.put((tok, reason))
+
             try:
-                results = self.engine.run([p.request for p in wave])
+                results = self.engine.run([p.request for p in wave],
+                                          on_token=on_token)
                 by_id = {r.request_id: r for r in results}
                 for p in wave:
                     p.result = by_id.get(p.request.request_id)
             except Exception as e:            # noqa: BLE001 -- deliver, don't die
                 for p in wave:
                     p.error = e
+                    if p.stream_q is not None:
+                        p.stream_q.put((None, None))   # error sentinel
             for p in wave:
                 p.event.set()
 
@@ -197,6 +212,32 @@ class ServeApp:
                                         skip_special_tokens=True),
                 "finish_reason": res.finish_reason,
                 "ttft_s": res.ttft_s}
+
+    def stream(self, payload: Dict[str, Any], timeout: Optional[float] = None):
+        """Generator of {"delta": str} per token, then one final
+        {"finish_reason": ..., "text": full_text}. Decoding is cumulative
+        (decode-all, emit the suffix), so BPE merges across token
+        boundaries stream correctly."""
+        p = _Pending(self._build_request(payload), stream_q=queue.Queue())
+        self._q.put(p)
+        text_tok = self.pipe.tokenizer.text_tokenizer
+        ids: List[int] = []
+        emitted = ""
+        while True:
+            tok, reason = p.stream_q.get(timeout=timeout)
+            if tok is None and reason is None and p.error is not None:
+                raise p.error
+            if tok is not None:
+                t = int(np.asarray(tok)[0])
+                if t not in (self.gen.pad_token_id, self.gen.eos_token_id):
+                    ids.append(t)
+                full = text_tok.decode(ids, skip_special_tokens=True)
+                if len(full) > len(emitted):
+                    yield {"delta": full[len(emitted):]}
+                    emitted = full
+            if reason is not None:
+                yield {"finish_reason": reason, "text": emitted}
+                return
 
     def pending(self) -> int:
         return self._q.qsize()
@@ -230,6 +271,16 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             n = int(self.headers.get("Content-Length", 0))
             payload = json.loads(self.rfile.read(n) or b"{}")
+            if payload.get("stream"):
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                for ev in self.app.stream(payload):
+                    self.wfile.write(
+                        b"data: " + json.dumps(ev).encode() + b"\n\n")
+                    self.wfile.flush()
+                return
             self._send(200, self.app.handle(payload))
         except (ValueError, KeyError) as e:
             self._send(400, {"error": str(e)})

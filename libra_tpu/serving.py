@@ -569,7 +569,13 @@ class ServingEngine:
 
     # -- host-side scheduler -------------------------------------------------
 
-    def run(self, requests: List[Request]) -> List[Result]:
+    def run(self, requests: List[Request],
+            on_token=None) -> List[Result]:
+        """on_token(request_id, token, finish_reason): streaming callback,
+        called from this thread per emitted token. `token` is the (Q,)
+        generated ids (None for zero-token capacity rejections);
+        `finish_reason` is None mid-stream and "eos"/"length"/"capacity"
+        on the request's final event."""
         cfg, gen, B, S = self.cfg, self.gen, self.B, self.S
         Q = cfg.vision_codebook_num
         tails_text = [np.asarray(r.vision_indices)[-1]
@@ -707,6 +713,7 @@ class ServingEngine:
                     results.append(Result(req.request_id,
                                           np.zeros((Q, 0), np.int64),
                                           "capacity"))
+                    emit(req.request_id, None, True, "capacity")
                 free = [s for s in range(B) if not active[s]]
                 if not na or not free:
                     return
@@ -760,6 +767,10 @@ class ServingEngine:
             budget[slot] = 0
             slot_req[slot] = None
 
+        def emit(rid, tok, done, reason):
+            if on_token is not None:
+                on_token(rid, tok, reason if done else None)
+
         prestage()
         try_fill()
         while active.any() or queue:
@@ -795,17 +806,20 @@ class ServingEngine:
                                                    - (req.arrival_s or 0.0))
                             tok = toks_np[k, slot, j]
                             # text tokens are identical across codebooks
-                            slot_toks[slot].append(
-                                np.full((Q,), tok, np.int64))
+                            tok_q = np.full((Q,), tok, np.int64)
+                            slot_toks[slot].append(tok_q)
                             budget[slot] -= 1
                             if tok == gen.eos_token_id:
                                 finish(slot, "eos")
+                                emit(req.request_id, tok_q, True, "eos")
                                 done = True
                                 break
                             if budget[slot] <= 0:
                                 finish(slot, "length")
+                                emit(req.request_id, tok_q, True, "length")
                                 done = True
                                 break
+                            emit(req.request_id, tok_q, False, None)
                         if done:
                             break
                 try_fill(limit=1 if active.any() else None)
@@ -833,14 +847,18 @@ class ServingEngine:
                         break
                     if slot_ttft[slot] is None:
                         slot_ttft[slot] = t_now - t0 - (req.arrival_s or 0.0)
-                    slot_toks[slot].append(toks_np[k, :, slot])
+                    tok_q = toks_np[k, :, slot]
+                    slot_toks[slot].append(tok_q)
                     budget[slot] -= 1
-                    if (toks_np[k, :, slot] == gen.eos_token_id).any():
+                    if (tok_q == gen.eos_token_id).any():
                         finish(slot, "eos")
+                        emit(req.request_id, tok_q, True, "eos")
                         break
                     if budget[slot] <= 0:
                         finish(slot, "length")
+                        emit(req.request_id, tok_q, True, "length")
                         break
+                    emit(req.request_id, tok_q, False, None)
             # interleave at most ONE prefill while slots are decoding so a
             # prompt burst can't stall the pool; drain freely when idle
             try_fill(limit=1 if active.any() else None)

@@ -112,3 +112,38 @@ def test_http_bad_request(app):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_stream_deltas_match_handle(pipe, app):
+    q = "stream me an answer"
+    want = app.handle({"prompt": q, "max_new_tokens": 4}, timeout=300)
+    evs = list(app.stream({"prompt": q, "max_new_tokens": 4}, timeout=300))
+    assert evs[-1]["finish_reason"] in ("eos", "length")
+    text = "".join(e["delta"] for e in evs[:-1])
+    assert text == want["text"]
+    assert evs[-1]["text"] == want["text"]
+
+
+def test_http_sse_stream(pipe, app):
+    srv = make_server(app, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        q = "tell me about streams"
+        want = pipe.chat([q], max_new_tokens=4)[0]
+        body = json.dumps({"prompt": q, "max_new_tokens": 4,
+                           "stream": True}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/generate", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.headers["Content-Type"] == "text/event-stream"
+            events = [json.loads(line[len(b"data: "):])
+                      for line in r.read().split(b"\n")
+                      if line.startswith(b"data: ")]
+        assert events[-1]["text"] == want
+        assert "".join(e.get("delta", "") for e in events[:-1]) == want
+    finally:
+        srv.shutdown()
+        srv.server_close()
