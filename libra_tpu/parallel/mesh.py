@@ -9,7 +9,11 @@ The reference scales with torchrun + NCCL + DeepSpeed ZeRO
   fsdp  -- parameter/optimizer sharding fused with data parallelism
            (the reference's ZeRO-2/3);
   model -- tensor parallelism over attention heads / MLP intermediate
-           (absent in the reference; added for 11B serving on v5e-8).
+           (absent in the reference; added for 11B serving on v5e-8);
+  seq   -- sequence (context) parallelism over the TOKEN axis of
+           activations (absent in the reference): long-context prefill
+           and training shard N across chips; parameters replicate over
+           this axis and GSPMD inserts the attention K/V all-gathers.
 
 XLA emits all collectives from sharding annotations; no NCCL-style
 explicit communication code exists anywhere in this framework.
@@ -23,17 +27,17 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-AXES = ("data", "fsdp", "model")
+AXES = ("data", "fsdp", "model", "seq")
 
 
-def make_mesh(data: int = 1, fsdp: int = 1, model: int = 1,
+def make_mesh(data: int = 1, fsdp: int = 1, model: int = 1, seq: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices) if devices is not None else jax.devices()
-    n = data * fsdp * model
+    n = data * fsdp * model * seq
     if n > len(devices):
-        raise ValueError(f"mesh {data}x{fsdp}x{model} needs {n} devices, "
-                         f"have {len(devices)}")
-    dev = np.asarray(devices[:n]).reshape(data, fsdp, model)
+        raise ValueError(f"mesh {data}x{fsdp}x{model}x{seq} needs {n} "
+                         f"devices, have {len(devices)}")
+    dev = np.asarray(devices[:n]).reshape(data, fsdp, model, seq)
     return Mesh(dev, AXES)
 
 

@@ -169,14 +169,22 @@ def data_shardings(mesh: Mesh, batch: Dict[str, Any],
                    stacked: bool = False) -> Dict[str, Any]:
     """stacked=True: leaves carry a leading micro-accumulation axis (A, ...)
     which stays unsharded (every device scans all A micros of its local
-    batch shard)."""
+    batch shard).
+
+    On a mesh with a non-trivial "seq" axis the TOKEN axis N additionally
+    shards over it (sequence/context parallelism): activations through the
+    layer stack stay N-sharded and GSPMD all-gathers K/V for attention.
+    Parameters never shard over "seq" (see mesh.py)."""
     lead = (None,) if stacked else ()
+    sq = "seq" if "seq" in mesh.axis_names else None
     out = {}
     for k, v in batch.items():
         if v is None:
             out[k] = None
-        elif k in _CODEBOOK_MAJOR:
-            out[k] = NamedSharding(mesh, P(*lead, None, ("data", "fsdp")))
-        else:
-            out[k] = NamedSharding(mesh, P(*lead, ("data", "fsdp")))
+        elif k in _CODEBOOK_MAJOR:    # (A?, Q, B, N)
+            out[k] = NamedSharding(mesh, P(*lead, None, ("data", "fsdp"), sq))
+        elif k == "coninous_signal":  # (A?, B, N, C)
+            out[k] = NamedSharding(mesh, P(*lead, ("data", "fsdp"), sq, None))
+        else:                         # (A?, B, N)
+            out[k] = NamedSharding(mesh, P(*lead, ("data", "fsdp"), sq))
     return out

@@ -116,8 +116,10 @@ def main(argv=None):
     mk = run.get("mesh", {})
     n_dev = len(jax.devices())
     mesh = make_mesh(data=mk.get("data", 1),
-                     fsdp=mk.get("fsdp", n_dev // mk.get("model", 1)),
-                     model=mk.get("model", 1))
+                     fsdp=mk.get("fsdp", n_dev // (mk.get("model", 1)
+                                                   * mk.get("seq", 1))),
+                     model=mk.get("model", 1),
+                     seq=mk.get("seq", 1))
 
     opt_cfg = OptimizerConfig(
         learning_rate=run.get("learning_rate", 1e-4),

@@ -207,15 +207,20 @@ def accum_train_step(state: TrainState, batch: Dict[str, Any], *,
 _CODEBOOK_MAJOR = ("input_ids", "labels")
 
 
+def _neutral_pad_vals(cfg: LibraConfig) -> Dict[str, Any]:
+    """Loss/attention-neutral token-pad values: mask 0, labels -100,
+    vision_indices = text."""
+    return {"input_ids": cfg.pad_token_id, "attention_mask": 0,
+            "vision_indices": cfg.max_vision_token_length,
+            "labels": -100, "coninous_signal": 0.0}
+
+
 def stack_micro_batches(micro_batches, cfg: LibraConfig) -> Dict[str, Any]:
     """Right-pad each prepared micro-batch to the group's max sequence
-    length and stack on a new leading micro axis (A, ...). Pad values are
-    loss/attention-neutral: mask 0, labels -100, vision_indices = text."""
+    length and stack on a new leading micro axis (A, ...)."""
     import numpy as np
 
-    pad_val = {"input_ids": cfg.pad_token_id, "attention_mask": 0,
-               "vision_indices": cfg.max_vision_token_length,
-               "labels": -100, "coninous_signal": 0.0}
+    pad_val = _neutral_pad_vals(cfg)
     N = max(mb["attention_mask"].shape[-1] for mb in micro_batches)
 
     def pad_one(k, v):
@@ -234,6 +239,31 @@ def stack_micro_batches(micro_batches, cfg: LibraConfig) -> Dict[str, Any]:
             out[k] = None
             continue
         out[k] = np.stack([pad_one(k, mb[k]) for mb in micro_batches])
+    return out
+
+
+def pad_batch_tokens(batch: Dict[str, Any], cfg: LibraConfig,
+                     multiple: int) -> Dict[str, Any]:
+    """Neutral right-pad of the token axis N to a multiple (sequence-
+    parallel meshes need N divisible by the "seq" axis; pads are exact:
+    mask-0 tokens attend nothing and carry -100 labels)."""
+    import numpy as np
+
+    N = batch["attention_mask"].shape[-1]
+    extra = (-N) % multiple
+    if extra == 0:
+        return batch
+    pad_val = _neutral_pad_vals(cfg)
+    out: Dict[str, Any] = {}
+    for k, v in batch.items():
+        if v is None:
+            out[k] = None
+            continue
+        v = np.asarray(v)
+        seq_axis = v.ndim - 2 if k == "coninous_signal" else v.ndim - 1
+        width = [(0, 0)] * v.ndim
+        width[seq_axis] = (0, extra)
+        out[k] = np.pad(v, width, constant_values=pad_val.get(k, 0))
     return out
 
 
@@ -291,6 +321,10 @@ class Trainer:
 
     def shard_batch(self, batch: Dict[str, Any],
                     stacked: bool = False) -> Dict[str, Any]:
+        seq = dict(zip(self.mesh.axis_names, self.mesh.devices.shape)
+                   ).get("seq", 1)
+        if seq > 1:
+            batch = pad_batch_tokens(batch, self.cfg, seq)
         shardings = data_shardings(self.mesh, batch, stacked=stacked)
         return {k: (None if v is None
                     else jax.device_put(jnp.asarray(v), shardings[k]))

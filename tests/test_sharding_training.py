@@ -82,6 +82,29 @@ def test_sharded_matches_single_device(tiny):
     np.testing.assert_allclose(l1b, l8b, rtol=1e-3)
 
 
+def test_seq_parallel_matches_single_device(tiny):
+    """Sequence (context) parallelism: the token axis sharded over the
+    "seq" mesh axis must reproduce the 1-device loss — GSPMD inserts the
+    attention K/V all-gathers; params replicate over "seq"."""
+    cfg, params = tiny
+    batch = make_batch(cfg, B=2)
+    opt_cfg = OptimizerConfig(learning_rate=1e-3, total_steps=100,
+                              warmup_ratio=0.0)
+    t1 = Trainer(cfg, params, make_mesh(1, 1, 1), opt_cfg)
+    tsp = Trainer(cfg, params, make_mesh(data=1, fsdp=2, model=2, seq=2),
+                  opt_cfg)
+    # the batch arrays really are token-sharded on the wire
+    sb = tsp.shard_batch(batch)
+    spec = sb["attention_mask"].sharding.spec
+    assert spec[-1] == "seq", spec
+    l1 = float(t1.step(batch)["loss"])
+    lsp = float(tsp.step(batch)["loss"])
+    np.testing.assert_allclose(l1, lsp, rtol=1e-4)
+    l1b = float(t1.step(batch)["loss"])
+    lspb = float(tsp.step(batch)["loss"])
+    np.testing.assert_allclose(l1b, lspb, rtol=1e-3)
+
+
 def test_grad_accumulation_matches_concat(tiny):
     """accum_train_step over A stacked micro-batches must equal one step on
     the concatenated batch EXACTLY (group-total loss normalisation), even
