@@ -37,7 +37,13 @@ def make_mesh(data: int = 1, fsdp: int = 1, model: int = 1, seq: int = 1,
     if n > len(devices):
         raise ValueError(f"mesh {data}x{fsdp}x{model}x{seq} needs {n} "
                          f"devices, have {len(devices)}")
-    dev = np.asarray(devices[:n]).reshape(data, fsdp, model, seq)
+    # Keep the latency-critical "model" (TP) groups ADJACENT in the flat
+    # device order: reshape with seq OUTSIDE model, then move the axes
+    # into name order. A plain (data, fsdp, model, seq) reshape strides
+    # seq BETWEEN TP peers, degrading TP collective locality over ICI
+    # whenever seq > 1 (ADVICE r3 finding 2).
+    dev = (np.asarray(devices[:n]).reshape(data, fsdp, seq, model)
+           .transpose(0, 1, 3, 2))
     return Mesh(dev, AXES)
 
 

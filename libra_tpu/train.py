@@ -115,9 +115,15 @@ def main(argv=None):
 
     mk = run.get("mesh", {})
     n_dev = len(jax.devices())
+    # default fsdp absorbs every device the EXPLICIT axes leave free
+    # (dividing by data too -- a config setting only data+seq used to
+    # over-size fsdp and fail in make_mesh, ADVICE r3 finding 3)
+    explicit = mk.get("data", 1) * mk.get("model", 1) * mk.get("seq", 1)
+    if n_dev % explicit != 0:
+        raise ValueError(f"mesh axes {mk} need a divisor of {n_dev} "
+                         f"devices, got product {explicit}")
     mesh = make_mesh(data=mk.get("data", 1),
-                     fsdp=mk.get("fsdp", n_dev // (mk.get("model", 1)
-                                                   * mk.get("seq", 1))),
+                     fsdp=mk.get("fsdp", n_dev // explicit),
                      model=mk.get("model", 1),
                      seq=mk.get("seq", 1))
 

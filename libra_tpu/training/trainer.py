@@ -245,14 +245,30 @@ def stack_micro_batches(micro_batches, cfg: LibraConfig) -> Dict[str, Any]:
 def pad_batch_tokens(batch: Dict[str, Any], cfg: LibraConfig,
                      multiple: int) -> Dict[str, Any]:
     """Neutral right-pad of the token axis N to a multiple (sequence-
-    parallel meshes need N divisible by the "seq" axis; pads are exact:
-    mask-0 tokens attend nothing and carry -100 labels)."""
+    parallel meshes need N divisible by the "seq" axis).
+
+    REQUIRES right-padded rows (per-row attention_mask non-increasing --
+    the production tokenizer's padding_side="right" default). Right-pad
+    is exactly loss-neutral: appended keys are masked out of every REAL
+    query row, and the appended query rows carry -100 labels. It is NOT
+    neutral for left-padded rows: a mask-0 query row has every key at
+    BIG_NEG, so its softmax is UNIFORM over all Nk keys (not "attends
+    nothing") and its output is mean(V) INCLUDING the appended pad keys;
+    with left-padding the shifted CE reads the first real token's label
+    from that drifting position (measured 2.7e-4 rel loss shift from one
+    pad token -- ADVICE r3 finding 1)."""
     import numpy as np
 
     N = batch["attention_mask"].shape[-1]
     extra = (-N) % multiple
     if extra == 0:
         return batch
+    am = np.asarray(batch["attention_mask"])
+    if (np.diff(am.astype(np.int8), axis=-1) > 0).any():
+        raise ValueError(
+            "pad_batch_tokens needs right-padded rows (attention_mask "
+            "non-increasing per row); left-padded rows make seq-axis "
+            "padding non-loss-neutral (see docstring)")
     pad_val = _neutral_pad_vals(cfg)
     out: Dict[str, Any] = {}
     for k, v in batch.items():

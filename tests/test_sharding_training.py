@@ -82,12 +82,29 @@ def test_sharded_matches_single_device(tiny):
     np.testing.assert_allclose(l1b, l8b, rtol=1e-3)
 
 
+def _right_pad_batch(batch):
+    """make_batch left-pads row 0 (mask-0 at the FRONT); seq-parallel
+    token padding is only loss-neutral for right-padded rows
+    (pad_batch_tokens enforces this -- ADVICE r3 finding 1), so move the
+    masked slots to the tail and -100 their labels."""
+    mask = np.asarray(batch["attention_mask"]).copy()
+    n_pad = (mask == 0).sum(-1)
+    mask[...] = 1
+    for b, n in enumerate(n_pad):
+        if n:
+            mask[b, -n:] = 0
+    labels = np.where(mask[None].astype(bool),
+                      np.asarray(batch["labels"]), -100)
+    return {**batch, "attention_mask": jnp.asarray(mask),
+            "labels": jnp.asarray(labels)}
+
+
 def test_seq_parallel_matches_single_device(tiny):
     """Sequence (context) parallelism: the token axis sharded over the
     "seq" mesh axis must reproduce the 1-device loss — GSPMD inserts the
     attention K/V all-gathers; params replicate over "seq"."""
     cfg, params = tiny
-    batch = make_batch(cfg, B=2)
+    batch = _right_pad_batch(make_batch(cfg, B=2))
     opt_cfg = OptimizerConfig(learning_rate=1e-3, total_steps=100,
                               warmup_ratio=0.0)
     t1 = Trainer(cfg, params, make_mesh(1, 1, 1), opt_cfg)
@@ -103,6 +120,20 @@ def test_seq_parallel_matches_single_device(tiny):
     l1b = float(t1.step(batch)["loss"])
     lspb = float(tsp.step(batch)["loss"])
     np.testing.assert_allclose(l1b, lspb, rtol=1e-3)
+
+
+def test_pad_batch_tokens_rejects_left_pad(tiny):
+    """Left-padded rows make seq-axis token padding non-loss-neutral
+    (fully-masked query rows attend UNIFORMLY, including appended pad
+    keys -- ADVICE r3 finding 1): pad_batch_tokens must refuse them."""
+    from libra_tpu.training.trainer import pad_batch_tokens
+    cfg, _ = tiny
+    batch = make_batch(cfg, B=2)          # make_inputs left-pads row 0
+    N = batch["attention_mask"].shape[-1]
+    with pytest.raises(ValueError, match="right-padded"):
+        pad_batch_tokens(batch, cfg, multiple=N + 3)
+    ok = pad_batch_tokens(_right_pad_batch(batch), cfg, multiple=N + 3)
+    assert ok["attention_mask"].shape[-1] == N + 3
 
 
 def test_grad_accumulation_matches_concat(tiny):
