@@ -21,21 +21,27 @@ is emitted instead (the "bonus" token -- so each iteration always emits
 `tests/test_spec_decode.py` asserts token-for-token parity with the
 standard decode loop.
 
-Restrictions (enforced by Generator._get_fn): greedy only (sampling would
-need distribution-preserving rejection sampling) and text-mode decode only
-(resolved decode_modality == "text": image blocks are multi-codebook and
-never copy from history). Works with int8 KV caches: the fused decode-
-attention kernel accepts query blocks up to Nq=8, so (gamma+1)-token
-verify steps with gamma <= 7 read the int8 cache through the kernel just
-like the standard Nq=1 decode (per-query flags and in-block causality
-ride the bias; larger gammas fall back to the XLA dequant path).
+Restrictions (enforced by Generator._get_fn / ChatSession): greedy only
+(sampling would need distribution-preserving rejection sampling) and
+text-mode decode only (resolved decode_modality == "text": image blocks
+are multi-codebook and never copy from history). Works with int8 KV
+caches: the fused decode-attention kernel accepts query blocks up to
+Nq=8, so (gamma+1)-token verify steps with gamma <= 7 read the int8 cache
+through the kernel just like the standard Nq=1 decode (per-query flags
+and in-block causality ride the bias; larger gammas fall back to the XLA
+dequant path).
 
 Batch rows desync (each accepts a different prefix), which the model
 already supports: KVCache.index may be a (B,) vector (the serving engine's
-per-slot timelines), and attention masks/causality are per-row.
+per-slot timelines), and attention masks/causality are per-row. The core
+loop (`spec_decode_loop`) is shared by the Generator path here and by
+ChatSession's spec turns (libra_tpu/chat.py), which run it against a
+conversation's RESIDENT cache at per-row turn offsets.
 """
 
 from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -80,59 +86,49 @@ def _bigram_drafts(hist: jax.Array, valid: jax.Array, P: jax.Array,
         lambda h, s: jax.lax.dynamic_slice(h, (s,), (gamma,)))(hist_pad, src)
 
 
-def _spec_generate_impl(params, input_ids, attention_mask, vision_indices,
-                        contiguous_signal, rng, vq_params=None, pixels=None,
-                        img_start=None, *, cfg: LibraConfig,
-                        gen: GenerationConfig, vq_cfg=None,
-                        cache_shardings=None):
-    """Drop-in replacement for generation._generate_impl (same signature,
-    same GenerateResult contract) when gen.spec_decode = gamma > 0."""
-    assert gen.spec_decode > 0 and not gen.do_sample \
-        and gen.decode_modality == "text"
+class SpecLoopResult(NamedTuple):
+    hist: jax.Array        # (B, St) history buffer with emitted tokens
+    mask_buf: jax.Array    # (B, Sc) -- 1 exactly on KV-valid slots
+    cache: Any             # per-row index == P (pending's slot, KV absent)
+    last_pos: jax.Array    # (B,) position id of slot P-1
+    P: jax.Array           # (B,) slot of the final pending token
+    finished: jax.Array    # (B,)
+    num_gen: jax.Array     # (B,) emitted tokens INCLUDING the pending one
+    iterations: jax.Array  # scalar verify iterations run
+
+
+def spec_decode_loop(params, hist, mask_buf, cache, pending, last_pos, P,
+                     offset_tab, *, cfg: LibraConfig, gen: GenerationConfig,
+                     max_new: int) -> SpecLoopResult:
+    """The draft/verify loop over PER-ROW cache indices, shared by
+    Generator spec decode and ChatSession spec turns.
+
+    Preconditions: hist (B, St) holds the real token history up to and
+    including `pending` at slot P (positions > P stale); St >= max(P) +
+    max_new + gamma + 1; mask_buf is 1 exactly on KV-valid slots (slot P
+    is NOT yet valid -- pending's K/V lands during its verify pass);
+    cache.index == P (B,); last_pos is slot P-1's position id. num_gen
+    starts at 1 (the pending token is already emitted)."""
+    assert gen.spec_decode > 0 and not gen.do_sample
     gamma = int(gen.spec_decode)
     K = gamma + 1
-    Q, B, N = input_ids.shape
+    B, St = hist.shape
+    Q = cfg.vision_codebook_num
     Mv = cfg.max_vision_token_length
-    S = N + gen.max_new_tokens
 
-    st = _prefill(params, input_ids, attention_mask, vision_indices,
-                  contiguous_signal, vq_params, pixels, img_start, cfg=cfg,
-                  gen=gen, vq_cfg=vq_cfg, cache_shardings=cache_shardings,
-                  extra_cache=K)
-    if gen.max_new_tokens == 0:
-        return GenerateResult(sequences=st.tokens,
-                              num_generated=jnp.zeros((B,), jnp.int32))
-
-    # verify blocks probe up to K-1 slots past a row's budget end: pad the
-    # output buffer so the per-row window writes stay statically in bounds
-    tokens = jnp.pad(st.tokens, ((0, 0), (0, 0), (0, K)))
-    St = tokens.shape[-1]
-    mask_buf = st.mask_buf
-    # batch rows accept different counts per iteration: switch the cache to
-    # per-row (B,) write indices (the serving engine's per-slot mode)
-    cache = st.cache._replace(index=jnp.full((B,), N, jnp.int32))
-    offset_tab = st.offset_tab
-
-    # the pending token: already emitted (written + counted) but its K/V is
-    # not in the cache yet; it is fed as the verify block's first input
-    pending = jnp.argmax(st.logits[0], axis=-1).astype(tokens.dtype)  # (B,)
-    tokens = tokens.at[:, :, N].set(pending[None])
     finished = pending == gen.eos_token_id
     num_gen = jnp.ones((B,), jnp.int32)
-    P = jnp.full((B,), N, jnp.int32)          # cache slot of the pending tok
-    last_pos = st.last_pos                    # position id of slot P-1
 
     def cond(state):
-        it, finished = state[0], state[7]
-        return (it < gen.max_new_tokens) & ~jnp.all(finished)
+        it, finished = state[0], state[6]
+        return (it < max_new) & ~jnp.all(finished)
 
     def body(state):
-        (it, tokens, mask_buf, cache, pending, last_pos, P, finished,
+        (it, hist, mask_buf, cache, pending, last_pos, finished, P,
          num_gen) = state
-        hist = tokens[0]                                       # (B, St)
         idx = jnp.arange(St)
-        # mask_buf may be longer than the token buffer (quantized caches
-        # round their length up to 128); validity only needs the token span
+        # mask_buf may be longer than the history buffer (quantized caches
+        # round their length up to 128); validity only needs the hist span
         valid = (mask_buf[:, :St] > 0) | (idx[None] == P[:, None])
         drafts = _bigram_drafts(hist, valid, P, pending, gamma)  # (B, gamma)
 
@@ -148,7 +144,7 @@ def _spec_generate_impl(params, input_ids, attention_mask, vision_indices,
         else:
             pos_ids = pos_new
         vi_blk = jnp.full((B, K), Mv, jnp.int32)
-        ids_blk = jnp.broadcast_to(x[None], (Q, B, K)).astype(tokens.dtype)
+        ids_blk = jnp.broadcast_to(x[None], (Q, B, K)).astype(hist.dtype)
         out = M.forward(params, cfg, ids_blk, mask_v, vi_blk, None,
                         position_ids=pos_ids, cache=cache, lang_only=True)
         # text-mode argmax over the combined vocab == argmax over the
@@ -156,7 +152,7 @@ def _spec_generate_impl(params, input_ids, attention_mask, vision_indices,
         # slice (which sits AFTER the text slice, so ids coincide), and
         # force_eoi_newline is identity at vision_index == text
         tl = M.compute_text_logits(params, out.hidden_states)
-        c = jnp.argmax(tl, axis=-1).astype(tokens.dtype)         # (B, K)
+        c = jnp.argmax(tl, axis=-1).astype(hist.dtype)           # (B, K)
 
         # ---- accept the longest matching draft prefix + the bonus ----
         ok = drafts == c[:, :gamma]                              # (B, gamma)
@@ -171,21 +167,16 @@ def _spec_generate_impl(params, input_ids, attention_mask, vision_indices,
         any_eos = jnp.any(eos_in, axis=1)
         first_eos = jnp.argmax(eos_in, axis=1)
         cnt = jnp.where(any_eos, first_eos + 1, a + 1)
-        cnt = jnp.minimum(cnt, gen.max_new_tokens - num_gen)
+        cnt = jnp.minimum(cnt, max_new - num_gen)
         cnt = jnp.where(finished, 0, cnt)
         num_gen = num_gen + cnt
         new_finished = (finished
                         | (any_eos & (first_eos < cnt))
-                        | (num_gen >= gen.max_new_tokens))
+                        | (num_gen >= max_new))
 
         # ---- write back ----
         write = ar < cnt[:, None]                                # (B, K)
-        # inner vmap maps the B axis of every operand; outer maps only the
-        # codebook axis of `tokens` (the generated text region is identical
-        # across codebooks)
-        upd = jax.vmap(jax.vmap(_update_window),
-                       in_axes=(0, None, None, None))
-        tokens = upd(tokens, e, P + 1, write)
+        hist = jax.vmap(_update_window)(hist, e, P + 1, write)
         # keep mask 1 only on the cnt kept K/V slots [P, P+cnt); the new
         # pending (bonus) slot P+cnt stays 0 until it is fed next iteration
         mask_buf = jax.vmap(_update_window, in_axes=(0, 0, 0, None))(
@@ -194,11 +185,58 @@ def _spec_generate_impl(params, input_ids, attention_mask, vision_indices,
         pending = jnp.where(cnt > 0, bonus, pending)
         last_pos = last_pos + cnt
         P = P + cnt
-        return (it + 1, tokens, mask_buf, cache, pending, last_pos, P,
-                new_finished, num_gen)
+        return (it + 1, hist, mask_buf, cache, pending, last_pos,
+                new_finished, P, num_gen)
 
-    init = (jnp.int32(0), tokens, mask_buf, cache, pending, last_pos, P,
-            finished, num_gen)
-    final = jax.lax.while_loop(cond, body, init)
-    return GenerateResult(sequences=final[1][:, :, :S],
-                          num_generated=final[8], iterations=final[0])
+    init = (jnp.int32(0), hist, mask_buf, cache, pending, last_pos,
+            finished, P, num_gen)
+    (it, hist, mask_buf, cache, pending, last_pos, finished, P,
+     num_gen) = jax.lax.while_loop(cond, body, init)
+    return SpecLoopResult(hist=hist, mask_buf=mask_buf, cache=cache,
+                          last_pos=last_pos, P=P, finished=finished,
+                          num_gen=num_gen, iterations=it)
+
+
+def _spec_generate_impl(params, input_ids, attention_mask, vision_indices,
+                        contiguous_signal, rng, vq_params=None, pixels=None,
+                        img_start=None, *, cfg: LibraConfig,
+                        gen: GenerationConfig, vq_cfg=None,
+                        cache_shardings=None):
+    """Drop-in replacement for generation._generate_impl (same signature,
+    same GenerateResult contract) when gen.spec_decode = gamma > 0."""
+    assert gen.spec_decode > 0 and not gen.do_sample \
+        and gen.decode_modality == "text"
+    K = int(gen.spec_decode) + 1
+    Q, B, N = input_ids.shape
+    S = N + gen.max_new_tokens
+
+    st = _prefill(params, input_ids, attention_mask, vision_indices,
+                  contiguous_signal, vq_params, pixels, img_start, cfg=cfg,
+                  gen=gen, vq_cfg=vq_cfg, cache_shardings=cache_shardings,
+                  extra_cache=K)
+    if gen.max_new_tokens == 0:
+        return GenerateResult(sequences=st.tokens,
+                              num_generated=jnp.zeros((B,), jnp.int32))
+
+    # verify blocks probe up to K-1 slots past a row's budget end: pad the
+    # history buffer so the per-row window writes stay statically in bounds
+    hist = jnp.pad(st.tokens[0], ((0, 0), (0, K)))
+    # batch rows accept different counts per iteration: switch the cache to
+    # per-row (B,) write indices (the serving engine's per-slot mode)
+    cache = st.cache._replace(index=jnp.full((B,), N, jnp.int32))
+
+    # the pending token: already emitted (written + counted) but its K/V is
+    # not in the cache yet; it is fed as the verify block's first input
+    pending = jnp.argmax(st.logits[0], axis=-1).astype(hist.dtype)  # (B,)
+    hist = hist.at[:, N].set(pending)
+    P = jnp.full((B,), N, jnp.int32)          # cache slot of the pending tok
+
+    res = spec_decode_loop(params, hist, st.mask_buf, cache, pending,
+                           st.last_pos, P, st.offset_tab, cfg=cfg, gen=gen,
+                           max_new=gen.max_new_tokens)
+    # the generated region is identical across codebooks (text decode);
+    # the prompt region keeps each codebook's own ids
+    sequences = st.tokens.at[:, :, N:].set(
+        jnp.broadcast_to(res.hist[None, :, N:S], (Q, B, S - N)))
+    return GenerateResult(sequences=sequences, num_generated=res.num_gen,
+                          iterations=res.iterations)
