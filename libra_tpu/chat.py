@@ -43,6 +43,7 @@ from libra_tpu.config import LibraConfig
 from libra_tpu.generation import (GenerationConfig, _last_position_logits, decode_micro_step,
                                   sample_tokens)
 from libra_tpu.models import libra as M
+from libra_tpu.spec_decode import spec_decode_loop
 
 
 class TurnResult(NamedTuple):
@@ -59,15 +60,14 @@ def _rope_inc(cfg: LibraConfig, vi: jax.Array) -> jax.Array:
     return jnp.where(vi == Mv - 1, cfg.image_feature_resolution + 1, inc)
 
 
-def _turn_impl(params, cache, mask_buf, ids, vi, sig, pmask, pos_last,
-               rng, vq_params=None, pixels=None, img_start=None, *,
-               cfg: LibraConfig, gen: GenerationConfig,
-               lang_only: bool, max_new: int, vq_cfg=None):
-    """One conversation turn: delta prefill at the carried cache index,
-    then an active-masked decode loop. Returns the turn's tokens plus the
-    updated carried state. With `pixels`, the CLIP+VQGAN encode runs
-    INSIDE this program and hides behind the delta prefill (the
-    Generator's fused vision path, generation._generate_impl)."""
+def _delta_prefill(params, cache, mask_buf, ids, vi, sig, pmask, pos_last,
+                   vq_params=None, pixels=None, img_start=None, *,
+                   cfg: LibraConfig, gen: GenerationConfig, vq_cfg=None):
+    """The delta prompt pass shared by the standard and speculative turn
+    bodies: mask write at the carried cache index, optional fused
+    CLIP+VQGAN encode (raw-pixels turns), carried 2D-RoPE positions, the
+    bucketed forward, and last-position logits. Returns
+    (out, logits, mask_buf, vi_last, pos_last_new, offset_tab)."""
     Q, B, Nb = ids.shape
     Mv = cfg.max_vision_token_length
     start = cache.index
@@ -118,6 +118,22 @@ def _turn_impl(params, cache, mask_buf, ids, vi, sig, pmask, pos_last,
     vi_last = vi[:, -1]          # delta is LEFT-padded: last column is real
     logits = _last_position_logits(params, cfg, out.hidden_states,
                                    vi_last < Mv, vi_last)
+    return out, logits, mask_buf, vi_last, pos_last_new, offset_tab
+
+
+def _turn_impl(params, cache, mask_buf, ids, vi, sig, pmask, pos_last,
+               rng, vq_params=None, pixels=None, img_start=None, *,
+               cfg: LibraConfig, gen: GenerationConfig,
+               lang_only: bool, max_new: int, vq_cfg=None):
+    """One conversation turn: delta prefill at the carried cache index,
+    then an active-masked decode loop. Returns the turn's tokens plus the
+    updated carried state. With `pixels`, the CLIP+VQGAN encode runs
+    INSIDE this program and hides behind the delta prefill (the
+    Generator's fused vision path, generation._generate_impl)."""
+    Q, B, Nb = ids.shape
+    out, logits, mask_buf, vi_last, pos_last_new, _ = _delta_prefill(
+        params, cache, mask_buf, ids, vi, sig, pmask, pos_last,
+        vq_params, pixels, img_start, cfg=cfg, gen=gen, vq_cfg=vq_cfg)
     toks0 = jnp.full((Q, B, max_new), gen.pad_token_id, jnp.int32)
     if max_new == 0:
         # prefill-only turn: context injected, nothing generated (the
@@ -160,6 +176,73 @@ def _turn_impl(params, cache, mask_buf, ids, vi, sig, pmask, pos_last,
     return toks, num_gen, cache, mask_buf, vi_last, pos_last
 
 
+def _spec_turn_impl(params, cache, mask_buf, hist, ids, vi, sig, pmask,
+                    pos_last, rng, vq_params=None, pixels=None,
+                    img_start=None, *, cfg: LibraConfig,
+                    gen: GenerationConfig, max_new: int, vq_cfg=None):
+    """Speculative conversation turn: the same delta prefill, then the
+    shared draft/verify loop (spec_decode.spec_decode_loop) against the
+    conversation's RESIDENT cache at PER-ROW indices (VERDICT r3 item 8 --
+    the serving engine's per-slot mode), then a lockstep resync.
+
+    `hist` (B, Sh) is the session's codebook-0 token history, carried
+    across turns so the bigram drafter can copy from EARLIER turns too
+    (the chat shape the drafter exists for: answers quote the question and
+    prior answers). Rows desync inside the loop (each accepts a different
+    draft count); at turn end the final pending token's K/V is flushed
+    with one per-row micro step (every emitted token's K/V lands in the
+    standard body too) and the cache index resyncs to the scalar
+    max-over-rows -- the gap slots stay mask-zeroed forever, the same
+    bounded-waste contract as the lockstep decode body. Exactness is
+    unchanged: every emitted token is the target model's own greedy
+    argmax (tests/test_chat_session.py spec parity)."""
+    Q, B, Nb = ids.shape
+    Mv = cfg.max_vision_token_length
+    start = cache.index                                   # scalar lockstep
+    out, logits, mask_buf, vi_last, pos_last_new, offset_tab = \
+        _delta_prefill(params, cache, mask_buf, ids, vi, sig, pmask,
+                       pos_last, vq_params, pixels, img_start, cfg=cfg,
+                       gen=gen, vq_cfg=vq_cfg)
+    # record the delta's codebook-0 ids (pad slots stay mask-invalid)
+    hist = M._write_seq(hist, ids[0], start)
+    toks0 = jnp.full((Q, B, max_new), gen.pad_token_id, jnp.int32)
+    if max_new == 0:
+        return (toks0, jnp.zeros((B,), jnp.int32), out.cache, mask_buf,
+                hist, vi_last, pos_last_new)
+
+    # text-mode greedy: codebook 0's combined-vocab argmax IS the answer
+    pending = jnp.argmax(logits[0], axis=-1).astype(hist.dtype)   # (B,)
+    P0 = start + Nb                     # scalar slot of the pending token
+    hist = M._write_seq(hist, pending[:, None], P0)
+    P = jnp.full((B,), 0, jnp.int32) + P0
+    res = spec_decode_loop(params, hist, mask_buf, out.cache._replace(index=P),
+                           pending, pos_last_new, P, offset_tab, cfg=cfg,
+                           gen=gen, max_new=max_new)
+
+    # flush the final pending token (slot res.P, emitted but K/V absent)
+    # so future turns can attend to it -- incl. the EOS </s> separator
+    xf = jnp.take_along_axis(res.hist, res.P[:, None], axis=1)    # (B, 1)
+    mask_f = M._write_seq(res.mask_buf,
+                          jnp.ones((B, 1), res.mask_buf.dtype), res.P)
+    pos_f = res.last_pos[:, None] + 1
+    if cfg.use_2d_rope:
+        pos_ids = pos_f[:, None, :] + offset_tab[Mv][None, :, None]
+    else:
+        pos_ids = pos_f
+    outf = M.forward(params, cfg, jnp.broadcast_to(xf[None], (Q, B, 1)),
+                     mask_f, jnp.full((B, 1), Mv, jnp.int32), None,
+                     position_ids=pos_ids, cache=res.cache, lang_only=True)
+    cache = outf.cache._replace(index=jnp.max(res.P) + 1)  # lockstep resync
+
+    # the turn's tokens: history slots [P0, P0 + max_new), pad past num_gen
+    seq = jax.lax.dynamic_slice(res.hist, (jnp.int32(0), P0), (B, max_new))
+    seq = jnp.where(jnp.arange(max_new)[None] < res.num_gen[:, None],
+                    seq, gen.pad_token_id)
+    toks = jnp.broadcast_to(seq[None], (Q, B, max_new)).astype(jnp.int32)
+    return (toks, res.num_gen, cache, mask_f, res.hist,
+            jnp.full((B,), Mv, vi_last.dtype), res.last_pos + 1)
+
+
 class ChatSession:
     """Batched incremental multi-turn generation over one resident cache.
 
@@ -177,18 +260,24 @@ class ChatSession:
                 "ChatSession supports vision_prediction_mode='1d' only "
                 "(the 2d hidden ring would need dynamic stitching across "
                 "turns); use Generator/pipeline.chat for 2d checkpoints")
-        if gen is not None and gen.spec_decode:
-            raise NotImplementedError(
-                "ChatSession decodes with a scalar lockstep cache index; "
-                "speculative decoding desynchronizes rows (per-row "
-                "acceptance) -- use Generator(spec_decode=...) or the "
-                "ServingEngine for speculative text decode")
         self.cfg = cfg
         self.gen = gen or GenerationConfig()
+        if self.gen.spec_decode:
+            if self.gen.do_sample:
+                raise ValueError("speculative chat turns are greedy-only "
+                                 "(as Generator spec decode)")
+            if self.gen.decode_modality == "dual":
+                raise ValueError(
+                    "spec_decode needs text-mode decode; "
+                    "decode_modality='dual' never drafts from history")
         self.B = batch
         self.delta_bucket = max(delta_bucket, 1)
-        self.S = (-(-max_len // 128) * 128 if self.gen.kv_quant
-                  else max_len)
+        # spec turns probe/write up to gamma+1 slots past a row's budget:
+        # over-allocate the cache/mask so the verify windows stay in bounds
+        extra = int(self.gen.spec_decode) + 1 if self.gen.spec_decode else 0
+        self.S = (-(-(max_len + extra) // 128) * 128 if self.gen.kv_quant
+                  else max_len + extra)
+        self._cap = self.S - extra      # usable conversation slots
         self.mesh = mesh
         self._cache_sh = None
         if mesh is not None:
@@ -228,6 +317,10 @@ class ChatSession:
         self._cache = cache
         self._mask_buf = jnp.zeros((self.B, self.S), jnp.int32)
         self._pos_last = jnp.full((self.B,), -1, jnp.int32)
+        # spec sessions carry the conversation's codebook-0 token history
+        # so the bigram drafter can copy from earlier turns
+        self._hist = (jnp.zeros((self.B, self.S), jnp.int32)
+                      if self.gen.spec_decode else None)
         self._n = 0                 # host-side upper bound on cache.index
 
     @property
@@ -239,15 +332,22 @@ class ChatSession:
     # -- per-turn ----------------------------------------------------------
 
     def _fn(self, Nb: int, lang_only: bool, max_new: int,
-            has_pixels: bool = False):
-        key = (Nb, lang_only, max_new, has_pixels)
+            has_pixels: bool = False, spec: bool = False):
+        key = (Nb, lang_only, max_new, has_pixels, spec)
         if key not in self._fns:
-            f = functools.partial(_turn_impl, cfg=self.cfg, gen=self.gen,
-                                  lang_only=lang_only, max_new=max_new,
-                                  vq_cfg=self.vq_cfg)
-            # donate the carried device state (cache dominates: the session
-            # updates it in place turn over turn)
-            self._fns[key] = jax.jit(f, donate_argnums=(1, 2))
+            if spec:
+                f = functools.partial(_spec_turn_impl, cfg=self.cfg,
+                                      gen=self.gen, max_new=max_new,
+                                      vq_cfg=self.vq_cfg)
+                # carried device state incl. the token-history buffer
+                self._fns[key] = jax.jit(f, donate_argnums=(1, 2, 3))
+            else:
+                f = functools.partial(_turn_impl, cfg=self.cfg, gen=self.gen,
+                                      lang_only=lang_only, max_new=max_new,
+                                      vq_cfg=self.vq_cfg)
+                # donate the carried device state (cache dominates: the
+                # session updates it in place turn over turn)
+                self._fns[key] = jax.jit(f, donate_argnums=(1, 2))
         return self._fns[key]
 
     def ask(self, inputs: Dict[str, Any],
@@ -300,11 +400,11 @@ class ChatSession:
             if img_start is not None:
                 img_start = img_start + pad
         Nb = Nd + pad
-        if self._n + Nb + max_new > self.S:
+        if self._n + Nb + max_new > self._cap:
             raise ValueError(
                 f"turn needs {Nb}+{max_new} slots but only "
-                f"{self.S - self._n} of {self.S} remain; raise max_len or "
-                f"reset() the session")
+                f"{self._cap - self._n} of {self._cap} remain; raise "
+                f"max_len or reset() the session")
 
         # lang-only decode body when every delta ends in text (chat
         # answers); a delta ending inside an image block (t2i turn)
@@ -321,12 +421,27 @@ class ChatSession:
 
         px_args = ((self.vq_params, pixels, jnp.asarray(img_start))
                    if pixels is not None else ())
+        spec = bool(gen.spec_decode)
+        if spec and modality != "text":
+            raise ValueError(
+                "a spec_decode session decodes text only; this turn "
+                "resolved decode_modality='dual' (delta ends inside an "
+                "image block) -- use a non-spec session for t2i turns")
         with self._qk_ctx():
-            toks, num_gen, cache, mask_buf, vi_last, pos_last = self._fn(
-                Nb, modality == "text", max_new, pixels is not None)(
-                    self.params, self._cache, self._mask_buf,
+            if spec:
+                (toks, num_gen, cache, mask_buf, hist, vi_last,
+                 pos_last) = self._fn(Nb, True, max_new,
+                                      pixels is not None, spec=True)(
+                    self.params, self._cache, self._mask_buf, self._hist,
                     jnp.asarray(ids), jnp.asarray(vi), jnp.asarray(sig),
                     jnp.asarray(pm), self._pos_last, rng, *px_args)
+                self._hist = hist
+            else:
+                toks, num_gen, cache, mask_buf, vi_last, pos_last = self._fn(
+                    Nb, modality == "text", max_new, pixels is not None)(
+                        self.params, self._cache, self._mask_buf,
+                        jnp.asarray(ids), jnp.asarray(vi), jnp.asarray(sig),
+                        jnp.asarray(pm), self._pos_last, rng, *px_args)
         self._cache, self._mask_buf = cache, mask_buf
         self._pos_last = pos_last
         # exact occupancy readback (the tokens readback below blocks on

@@ -293,6 +293,30 @@ def convert_clip_state_dict(sd: Dict[str, np.ndarray],
     return _to_jax(params, jnp.float32)
 
 
+def load_nested_clip(clip_dir: str, vq_cfg: VQGANConfig):
+    """Load the nested CLIP checkpoint dir of the reference layout
+    (README.md:53-83: `<ckpt>/openai-clip-vit-large-patch14-336/`, named by
+    the yaml's ddconfig.encoder_name and consumed by
+    `CLIPVisionModel.from_pretrained`, clip_encoder.py:40-44).
+
+    Returns (vq_cfg with its `clip` sub-config replaced by the dir's
+    config.json, converted CLIP params). The dir may hold either a full
+    CLIPConfig (openai/clip-vit-* style, vision half under "vision_config")
+    or a bare CLIPVisionConfig; the weight files may carry the joint model
+    (text_model.* keys are simply ignored by the converter)."""
+    import dataclasses
+
+    with open(Path(clip_dir) / "config.json") as f:
+        d = json.load(f)
+    d = d.get("vision_config", d)
+    clip_cfg = CLIPVisionConfig.from_dict(d)
+    vq_cfg = dataclasses.replace(vq_cfg, clip=clip_cfg)
+    sd = load_torch_state_dict(clip_dir)
+    # full-CLIP exports prefix the vision half as vision_model.*; a
+    # CLIPVisionModel export uses the same prefix, so both pass through
+    return vq_cfg, convert_clip_state_dict(sd, clip_cfg)
+
+
 # ---------------------------------------------------------------------------
 # VQGAN conversion
 # ---------------------------------------------------------------------------

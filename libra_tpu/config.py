@@ -13,7 +13,7 @@ import dataclasses
 import json
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -319,18 +319,33 @@ class VQGANConfig:
         return cls(**kw)
 
 
-def load_vision_tokenizer_config(checkpoint_dir: str):
-    """Parse ``<ckpt>/vision_tokenizer_config.yaml`` shipped with reference
-    checkpoints into ``(VQGANConfig, vqgan_ckpt_path, max_vision_token_length)``.
+class VisionTokenizerSpec(NamedTuple):
+    """Parsed ``vision_tokenizer_config.yaml``: the VQGAN config, the
+    resolved weight path, the optional max_vision_token_length override,
+    and the resolved nested CLIP checkpoint dir (None when the encoder is
+    the conv variant or the yaml names no path)."""
+    vq_cfg: "VQGANConfig"
+    ckpt_path: str
+    max_vision_token_length: Optional[int]
+    clip_dir: Optional[str]
 
-    Relative ``ckpt_path`` entries resolve against the checkpoint dir
-    (reference: tokenization_libra.py:151-158). Falls back to defaults +
+
+def load_vision_tokenizer_config(checkpoint_dir: str) -> VisionTokenizerSpec:
+    """Parse ``<ckpt>/vision_tokenizer_config.yaml`` shipped with reference
+    checkpoints into a VisionTokenizerSpec.
+
+    Relative ``ckpt_path`` entries resolve against the checkpoint dir, and
+    so does ``ddconfig.encoder_name`` -- in the reference that is a path to
+    the nested CLIP dir inside the checkpoint (README.md:53-83), resolved
+    the same way (tokenization_libra.py:151-158) and handed to
+    ``CLIPVisionModel.from_pretrained``. Falls back to defaults +
     ``<ckpt>/vqgan.ckpt`` when the YAML is absent.
     """
     root = Path(checkpoint_dir)
     yaml_path = root / "vision_tokenizer_config.yaml"
     if not yaml_path.exists():
-        return VQGANConfig(), str(root / "vqgan.ckpt"), None
+        return VisionTokenizerSpec(VQGANConfig(), str(root / "vqgan.ckpt"),
+                                   None, None)
     import yaml
     with open(yaml_path) as f:
         d = yaml.safe_load(f) or {}
@@ -338,4 +353,10 @@ def load_vision_tokenizer_config(checkpoint_dir: str):
     rel = d.get("ckpt_path") or (d.get("params") or {}).get("ckpt_path") \
         or "vqgan.ckpt"
     ckpt_path = rel if Path(rel).is_absolute() else str(root / rel)
-    return cfg, ckpt_path, d.get("max_vision_token_length")
+    clip_dir = None
+    enc = ((d.get("params") or {}).get("ddconfig") or {}).get("encoder_name")
+    if enc and "clip" in str(enc):
+        p = Path(enc)
+        clip_dir = str(p if p.is_absolute() else root / p)
+    return VisionTokenizerSpec(cfg, ckpt_path,
+                               d.get("max_vision_token_length"), clip_dir)

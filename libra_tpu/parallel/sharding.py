@@ -46,7 +46,7 @@ def _spec_for(path: str, ndim: int, layered: bool) -> P:
     # --- low-rank vision twins and bridges ---
     if name == "wa":
         if parent in ("vision_o",):
-            return out(m, None)     # consumes head-sharded activations
+            return out(m, f)        # consumes head-sharded activations
         if parent in ("vision_down",):
             return out(m, f)        # consumes intermediate-sharded acts
         if parent.startswith(("k_bridge", "v_bridge")):
@@ -56,10 +56,14 @@ def _spec_for(path: str, ndim: int, layered: bool) -> P:
         if parent in ("vision_o", "vision_down"):
             return out(None, f)
         if parent.startswith(("k_bridge", "v_bridge")):
-            return out(None, m)     # head-sharded outputs
-        if parent in ("vision_gate", "vision_up"):
-            return out(None, m)
-        return out(None, m)         # vision_q/k/v -> head-sharded
+            return out(None, m)     # head-sharded outputs (rank-8: tiny)
+        # vision_q/k/v/gate/up: bottleneck over fsdp, outputs head-/
+        # intermediate-sharded over model. The fsdp dim matters for ZeRO:
+        # these are the TRAINABLE weights under frozen_language, and on an
+        # fsdp-dominant mesh (model=1) a model-only spec leaves the weight
+        # AND its two Adam moments fully replicated (r4: measured 4.3 GB
+        # of the 8-chip pretrain step's per-chip argument bytes).
+        return out(f, m)
 
     # --- embeddings / heads ---
     if name == "embed_tokens":
@@ -125,6 +129,44 @@ def param_shardings(mesh: Mesh, params: Any) -> Any:
 def shard_params(mesh: Mesh, params: Any) -> Any:
     """Place a (host or replicated) param pytree onto the mesh."""
     return jax.device_put(params, param_shardings(mesh, params))
+
+
+def state_specs(params: Any, state: Any) -> Any:
+    """PartitionSpecs for a TrainState / optax optimizer-state pytree.
+
+    Any state leaf whose path SUFFIX matches a parameter path (and rank)
+    inherits that parameter's spec -- Adam mu/nu mirror the param tree
+    under `.../mu/<param path>` -- so optimizer moments shard exactly like
+    their weights (the ZeRO contract, SURVEY.md section 2.5). Everything
+    else (schedule counts, step, clip state) replicates.
+
+    This must be EXPLICIT rather than left to GSPMD propagation: opt.init
+    builds moments with `jnp.zeros_like(p)`, which lowers to a constant
+    broadcast with NO data dependence on the param, so sharding
+    propagation has nothing to walk and XLA leaves the moments fully
+    replicated (r4: measured ~10 GB/chip of replicated f32 moments on the
+    8-chip pretrain compile before this existed)."""
+    ptab = {}
+    for p, spec in jax.tree_util.tree_flatten_with_path(
+            param_specs(params))[0]:
+        ptab[tuple(_path_keys(p))] = spec
+
+    def visit(path, leaf):
+        keys = tuple(_path_keys(path))
+        for i in range(len(keys)):
+            spec = ptab.get(keys[i:])
+            if spec is not None and len(spec) == leaf.ndim:
+                return spec
+        return P()
+
+    return jax.tree_util.tree_map_with_path(visit, state)
+
+
+def state_shardings(mesh: Mesh, params: Any, state: Any) -> Any:
+    """NamedShardings for a TrainState-shaped pytree (see state_specs).
+    `state` may be concrete arrays or jax.eval_shape structs."""
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), state_specs(params, state))
 
 
 def cache_shardings(mesh: Mesh, cfg: LibraConfig, quantized: bool = False):

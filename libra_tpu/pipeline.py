@@ -89,9 +89,16 @@ class LibraPipeline:
         sd = ckpt.load_torch_state_dict(path)
         params = ckpt.convert_libra_state_dict(sd, cfg)
         text_tok = HFTextTokenizer(path)
-        vq_cfg, vq_ckpt, max_vt = load_vision_tokenizer_config(path)
+        vq_cfg, vq_ckpt, max_vt, clip_dir = load_vision_tokenizer_config(path)
+        clip_params = None
+        if vq_cfg.encoder_name == "clip" and clip_dir is not None:
+            # reference layout: the CLIP tower lives in a nested dir inside
+            # the checkpoint (README.md:53-83, `openai-clip-vit-large-...`),
+            # named by ddconfig.encoder_name -- NOT inside vqgan.ckpt
+            vq_cfg, clip_params = ckpt.load_nested_clip(clip_dir, vq_cfg)
         vq_sd = ckpt.load_torch_state_dict(vq_ckpt)
-        vq_params = ckpt.convert_vqgan_state_dict(vq_sd, vq_cfg)
+        vq_params = ckpt.convert_vqgan_state_dict(vq_sd, vq_cfg,
+                                                  clip_params=clip_params)
         img_tok = ImageTokenizer(vq_cfg, vq_params, token_offset=cfg.vocab_size,
                                  max_vision_token_length=(
                                      max_vt or cfg.max_vision_token_length),

@@ -41,9 +41,14 @@ def build_model_and_tokenizer(model_cfg: Dict[str, Any]):
             sd = ckpt.load_torch_state_dict(extra)
         params = ckpt.convert_libra_state_dict(sd, cfg)
         text_tok = HFTextTokenizer(pretrained)
-        vq_cfg, vq_ckpt, max_vt = load_vision_tokenizer_config(pretrained)
+        vq_cfg, vq_ckpt, max_vt, clip_dir = \
+            load_vision_tokenizer_config(pretrained)
+        clip_params = None
+        if vq_cfg.encoder_name == "clip" and clip_dir is not None:
+            vq_cfg, clip_params = ckpt.load_nested_clip(clip_dir, vq_cfg)
         vq_sd = ckpt.load_torch_state_dict(vq_ckpt)
-        vq_params = ckpt.convert_vqgan_state_dict(vq_sd, vq_cfg)
+        vq_params = ckpt.convert_vqgan_state_dict(vq_sd, vq_cfg,
+                                                  clip_params=clip_params)
         img_tok = ImageTokenizer(vq_cfg, vq_params,
                                  token_offset=cfg.vocab_size,
                                  max_vision_token_length=(

@@ -26,7 +26,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from libra_tpu.config import LibraConfig
 from libra_tpu.models import libra as M
-from libra_tpu.parallel.sharding import data_shardings, param_shardings
+from libra_tpu.parallel.sharding import (data_shardings, param_shardings,
+                                         state_shardings)
 from libra_tpu.training.optimizer import OptimizerConfig, make_optimizer
 
 
@@ -96,6 +97,33 @@ def masked_value_and_grad(loss_of_params, params, grad_mask):
     return loss, grads
 
 
+def _finish_step(state: TrainState, loss, grads, trainable_grads, *,
+                 opt: optax.GradientTransformation, grad_mask: Any
+                 ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    """Optimizer update + masked apply shared by both step flavours.
+
+    The frozen leaves of `grads` are zeros_like placeholders (the optax
+    multi_transform partition API wants a full tree). They must stay DEAD
+    CODE: grad_norm runs on `trainable_grads` (the trainable-only list)
+    and apply skips frozen leaves entirely, so the only consumer of the
+    placeholder zeros is set_to_zero (whose output is unused) and XLA
+    DCEs the broadcasts (r4: they previously materialised as ~4 GB of
+    zero-filled temps per chip on the frozen_language pretrain step)."""
+    updates, new_opt = opt.update(grads, state.opt_state, state.params)
+    if grad_mask is None:
+        new_params = optax.apply_updates(state.params, updates)
+    else:
+        new_params = jax.tree_util.tree_map(
+            lambda p, u, mm: optax.apply_updates(p, u) if mm else p,
+            state.params, updates, grad_mask)
+    metrics = {
+        "loss": loss,
+        "grad_norm": optax.global_norm(trainable_grads),
+        "step": state.step,
+    }
+    return TrainState(new_params, new_opt, state.step + 1), metrics
+
+
 def train_step(state: TrainState, batch: Dict[str, Any], *,
                cfg: LibraConfig, opt: optax.GradientTransformation,
                dropout_seed: int = 0, grad_mask: Any = None
@@ -107,14 +135,13 @@ def train_step(state: TrainState, batch: Dict[str, Any], *,
     loss, grads = masked_value_and_grad(
         lambda p: loss_fn(p, cfg, batch, dropout_rng=rng),
         state.params, grad_mask)
-    updates, new_opt = opt.update(grads, state.opt_state, state.params)
-    new_params = optax.apply_updates(state.params, updates)
-    metrics = {
-        "loss": loss,
-        "grad_norm": optax.global_norm(grads),
-        "step": state.step,
-    }
-    return TrainState(new_params, new_opt, state.step + 1), metrics
+    if grad_mask is None:
+        tg = grads
+    else:
+        tg = [g for g, mm in zip(jax.tree_util.tree_leaves(grads),
+                                 jax.tree_util.tree_leaves(grad_mask)) if mm]
+    return _finish_step(state, loss, grads, tg, opt=opt,
+                        grad_mask=grad_mask)
 
 
 def eval_step(state: TrainState, batch: Dict[str, Any], *,
@@ -193,14 +220,8 @@ def accum_train_step(state: TrainState, batch: Dict[str, Any], *,
     grads = jax.tree_util.tree_unflatten(
         treedef, [next(it) if mm else jnp.zeros_like(p)
                   for p, mm in zip(leaves, m)])
-    updates, new_opt = opt.update(grads, state.opt_state, state.params)
-    new_params = optax.apply_updates(state.params, updates)
-    metrics = {
-        "loss": loss,
-        "grad_norm": optax.global_norm(grads),
-        "step": state.step,
-    }
-    return TrainState(new_params, new_opt, state.step + 1), metrics
+    gm = grad_mask if grad_mask is not None and not all(m) else None
+    return _finish_step(state, loss, grads, gt, opt=opt, grad_mask=gm)
 
 
 # Batch arrays keyed by name: codebook-major leaves are (Q, B, N).
@@ -300,9 +321,12 @@ class Trainer:
 
         pshard = param_shardings(mesh, params)
         params = jax.device_put(params, pshard)
+        init = functools.partial(init_state, opt=self.opt)
+        # optimizer moments are zeros_like constants -- GSPMD propagation
+        # leaves them replicated; pin the ZeRO layout explicitly
+        sshard = state_shardings(mesh, params, jax.eval_shape(init, params))
         with jax.set_mesh(mesh):
-            self.state = jax.jit(
-                functools.partial(init_state, opt=self.opt))(params)
+            self.state = jax.jit(init, out_shardings=sshard)(params)
 
         # ZeRO-Offload equivalent: Adam moment matrices parked in pinned
         # host memory between steps, streamed to device around the compiled

@@ -93,7 +93,7 @@ def test_two_turns_match_full_reprefill(tiny):
     r1 = sess.ask(t1, max_new_tokens=max_new)
     N1 = t1["input_ids"].shape[-1]
     Nb1 = N1 + (-N1) % 4
-    assert list(sess._fns) == [(Nb1, True, max_new, False)]
+    assert list(sess._fns) == [(Nb1, True, max_new, False, False)]
 
     # turn 1 must equal a plain Generator run on the same prompt
     g = Generator(params, cfg)
@@ -193,7 +193,7 @@ def test_t2i_turn_decodes_dual_path(tiny):
     t2["input_ids"][:, :, -1] = cfg.vocab_size + cfg.vision_vocab_size - 2
     t2["vision_indices"][:, -1] = 0               # delta ends at BOI
     r2 = sess.ask(t2, max_new_tokens=4)
-    assert (3, False, 4, False) in sess._fns             # dual-path body compiled
+    assert (3, False, 4, False, False) in sess._fns      # dual-path body compiled
     new = np.asarray(r2.tokens)
     assert (new >= cfg.vocab_size).all()          # image continues
 
@@ -319,11 +319,99 @@ def test_prefill_only_turn(tiny):
         np.asarray(want.sequences)[:, :, full["input_ids"].shape[-1]:])
 
 
-def test_spec_decode_rejected(tiny):
-    """ChatSession's scalar lockstep cache index can't host per-row
-    speculative acceptance: constructing one with spec_decode must fail
-    loudly (Generator/ServingEngine carry the feature)."""
+def test_spec_session_matches_full_reprefill(tiny):
+    """Speculative chat turns (per-row acceptance inside the resident
+    cache, VERDICT r3 item 8): every turn's tokens must equal the plain
+    session AND a fresh full-history Generator run -- spec decode is
+    exact, so the cache-reuse parity contract is unchanged."""
     cfg, params = tiny
-    with pytest.raises(NotImplementedError, match="spec"):
+    B, max_new = 2, 6
+    gen = GenerationConfig(eos_token_id=-1)
+    sgen = GenerationConfig(eos_token_id=-1, spec_decode=3)
+    plain = ChatSession(params, cfg, batch=B, max_len=128, gen=gen,
+                        delta_bucket=4)
+    spec = ChatSession(params, cfg, batch=B, max_len=128, gen=sgen,
+                       delta_bucket=4)
+    t1 = _turn1_inputs(cfg, B)
+    r1p = plain.ask(t1, max_new_tokens=max_new)
+    r1s = spec.ask(t1, max_new_tokens=max_new)
+    np.testing.assert_array_equal(np.asarray(r1s.tokens),
+                                  np.asarray(r1p.tokens))
+    np.testing.assert_array_equal(np.asarray(r1s.num_generated),
+                                  np.asarray(r1p.num_generated))
+
+    t2 = _text_delta(cfg, B, 5, seed=9)
+    r2p = plain.ask(t2, max_new_tokens=max_new)
+    r2s = spec.ask(t2, max_new_tokens=max_new)
+    np.testing.assert_array_equal(np.asarray(r2s.tokens),
+                                  np.asarray(r2p.tokens))
+
+    # and against ground truth: full re-prefill of the token history
+    g = Generator(params, cfg)
+    t2p = dict(t2)
+    pad = (-5) % 4
+    t2p["input_ids"] = np.pad(t2["input_ids"], ((0, 0), (0, 0), (pad, 0)))
+    t2p["vision_indices"] = np.pad(
+        t2["vision_indices"], ((0, 0), (pad, 0)),
+        constant_values=cfg.max_vision_token_length)
+    t2p["attention_mask"] = np.pad(np.ones((B, 5), np.int64),
+                                   ((0, 0), (pad, 0)))
+    full = _concat_history(cfg, [t1, t2p],
+                           [(np.asarray(r1p.tokens),
+                             np.asarray(r1p.num_generated))])
+    want = g(full, GenerationConfig(max_new_tokens=max_new,
+                                    eos_token_id=-1))
+    np.testing.assert_array_equal(
+        np.asarray(r2s.tokens),
+        np.asarray(want.sequences)[:, :, full["input_ids"].shape[-1]:])
+
+
+def test_spec_session_eos_and_int8_kv(tiny):
+    """Spec turns over the int8 KV cache; a row stopping at EOS freezes
+    exactly as in the lockstep body and the EOS stays visible."""
+    from libra_tpu.quantization import quantize_params
+
+    cfg, params = tiny
+    qparams = quantize_params(params, min_elems=0)
+    g = Generator(qparams, cfg)
+    t1 = _turn1_inputs(cfg, 1, seed=3)
+    first = int(np.asarray(g(t1, GenerationConfig(
+        max_new_tokens=1, eos_token_id=-1,
+        kv_quant=True)).sequences)[0, 0, -1])
+
+    sess = ChatSession(qparams, cfg, batch=1, max_len=128,
+                       gen=GenerationConfig(eos_token_id=first,
+                                            kv_quant=True, spec_decode=2),
+                       delta_bucket=1)
+    r1 = sess.ask(t1, max_new_tokens=4)
+    assert int(r1.num_generated[0]) == 1          # stopped at "EOS"
+    assert int(np.asarray(r1.tokens)[0, 0, 0]) == first
+
+    t2 = _text_delta(cfg, 1, 3, seed=11)
+    r2 = sess.ask(t2, max_new_tokens=4)
+    a1 = (np.asarray(r1.tokens)[:, :, :1], np.ones((1,), np.int32))
+    full = _concat_history(cfg, [t1, t2], [a1])
+    want = g(full, GenerationConfig(max_new_tokens=4, eos_token_id=first,
+                                    kv_quant=True))
+    got = np.asarray(r2.tokens)[:, :, :int(r2.num_generated[0])]
+    N = full["input_ids"].shape[-1]
+    np.testing.assert_array_equal(
+        got, np.asarray(want.sequences)[:, :, N:N + got.shape[-1]])
+
+
+def test_spec_session_guards(tiny):
+    """Spec sessions are greedy text-only: sampling and dual-modality
+    turns fail loudly."""
+    cfg, params = tiny
+    with pytest.raises(ValueError, match="greedy"):
         ChatSession(params, cfg, batch=1, max_len=64,
-                    gen=GenerationConfig(eos_token_id=-1, spec_decode=2))
+                    gen=GenerationConfig(eos_token_id=-1, spec_decode=2,
+                                         do_sample=True))
+    sess = ChatSession(params, cfg, batch=1, max_len=64,
+                       gen=GenerationConfig(eos_token_id=-1, spec_decode=2),
+                       delta_bucket=1)
+    t = _text_delta(cfg, 1, 3, seed=0)
+    t["input_ids"][:, :, -1] = cfg.vocab_size + 1
+    t["vision_indices"][:, -1] = 0                # delta ends at BOI
+    with pytest.raises(ValueError, match="dual"):
+        sess.ask(t, max_new_tokens=2)

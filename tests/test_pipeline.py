@@ -86,9 +86,13 @@ params:
     num_attn_head: 4
 """
     (tmp_path / "vision_tokenizer_config.yaml").write_text(yaml_text)
-    cfg, ckpt_path, max_vt = load_vision_tokenizer_config(str(tmp_path))
+    cfg, ckpt_path, max_vt, clip_dir = \
+        load_vision_tokenizer_config(str(tmp_path))
     assert max_vt == 578
     assert ckpt_path == str(tmp_path / "weights/tokenizer.ckpt")
+    # encoder_name resolves against the checkpoint dir (the reference's
+    # nested-CLIP-dir layout, tokenization_libra.py:157-158)
+    assert clip_dir == str(tmp_path / "openai/clip-vit-large-patch14-336")
     assert cfg.embed_dim == 18 and cfg.codebook_size == 512
     assert cfg.num_codebook == 2
     assert cfg.encoder_name == "clip" and cfg.select_layer == -2
@@ -98,8 +102,9 @@ params:
     assert cfg.initial_resolution == 24 and cfg.resolution == 336
 
     # absent YAML -> defaults + <dir>/vqgan.ckpt
-    cfg2, ckpt2, mvt2 = load_vision_tokenizer_config(str(tmp_path / "nope"))
-    assert mvt2 is None and ckpt2.endswith("vqgan.ckpt")
+    cfg2, ckpt2, mvt2, cd2 = load_vision_tokenizer_config(
+        str(tmp_path / "nope"))
+    assert mvt2 is None and ckpt2.endswith("vqgan.ckpt") and cd2 is None
     assert cfg2.embed_dim == 18
 
 
