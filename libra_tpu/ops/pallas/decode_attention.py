@@ -186,8 +186,11 @@ def int8_decode_attention(q, kq, ks, vq, vs, kbq=None, kbs=None,
     B, N, H, d = q.shape
     S = kq.shape[-2]
     kv_shape = (B, H, S, d) if not stacked else kq.shape[:1] + (B, H, S, d)
-    assert N <= 8 and S % 128 == 0 and kq.shape == kv_shape, \
-        (q.shape, kq.shape)
+    # N <= 8: single-step decode / spec-decode verify blocks. Larger N
+    # (multiples of 8 up to 64): merged chunked-prefill windows (serving) --
+    # the (N, S) fp32 score block stays ~192 KB at S=768, well inside VMEM.
+    assert (N <= 8 or (N <= 64 and N % 8 == 0)) and S % 128 == 0 \
+        and kq.shape == kv_shape, (q.shape, kq.shape)
     use_bridge = kbq is not None
     hb = _head_block(H, S, d, 4 if use_bridge else 2)
     qh = q.transpose(0, 2, 1, 3)                        # (B, H, N, d)
@@ -261,11 +264,14 @@ def int8_decode_attention(q, kq, ks, vq, vs, kbq=None, kbs=None,
 def decode_kernel_applicable(cfg, cache_k, q_len: int) -> bool:
     """Static gate: the fused kernel handles this decode step's shapes.
     cache_k may be a per-layer (B, H, S, d) or stacked (L, B, H, S, d)
-    QuantizedArray. q blocks up to 8 are supported (spec-decode verify
-    passes); prompt-scale q lengths fall back to the prefill paths.
+    QuantizedArray. q blocks up to 8 (spec-decode verify passes) and
+    8-multiples up to 64 (merged chunked-prefill windows, serving) are
+    supported; prompt-scale q lengths fall back to the prefill paths.
     (Backend/TP gating is the caller's via decode_kernel_active.)"""
     from libra_tpu.quantization import QuantizedArray
-    if not ENABLED or not 1 <= q_len <= 8:
+    if not ENABLED:
+        return False
+    if not (1 <= q_len <= 8 or (q_len <= 64 and q_len % 8 == 0)):
         return False
     if not isinstance(cache_k, QuantizedArray):
         return False

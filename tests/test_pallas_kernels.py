@@ -210,12 +210,14 @@ def test_int8_decode_attention_matches_xla(use_bridge):
 
 
 @pytest.mark.parametrize("use_bridge", [True, False])
-def test_int8_decode_attention_qblock(use_bridge):
-    """Nq=4 query block (the spec-decode verify shape) with in-block
-    causality carried in a per-query (B, N, S) bias."""
+@pytest.mark.parametrize("N", [4, 16])
+def test_int8_decode_attention_qblock(use_bridge, N):
+    """Query blocks with in-block causality carried in a per-query
+    (B, N, S) bias: Nq=4 (the spec-decode verify shape) and Nq=16 (the
+    merged chunked-prefill window family, 8-multiples up to 64)."""
     from libra_tpu.ops.pallas.decode_attention import int8_decode_attention
 
-    B, S, H, d, N = 2, 128, 8, 128, 4
+    B, S, H, d = 2, 128, 8, 128
     rng = np.random.RandomState(7)
 
     def qbuf(seed):
@@ -232,7 +234,7 @@ def test_int8_decode_attention_qblock(use_bridge):
     q = jnp.asarray(rng.randn(B, N, H, d).astype(np.float32))
     flag_q = jnp.asarray(rng.rand(B, N) < 0.5)
     kv_flag = jnp.asarray(rng.rand(B, S) < 0.4)
-    # queries occupy slots [96, 100): causal + padding per query row
+    # queries occupy slots [96, 96 + N): causal + padding per query row
     keep = np.zeros((B, N, S), bool)
     for i in range(N):
         keep[:, i, : 96 + i + 1] = True

@@ -123,6 +123,8 @@ def cases():
     add("decode_stacked_n1", _decode_case, 4, 768, 1, L=32)
     add("decode_stacked_spec_n4", _decode_case, 4, 768, 4, L=32)
     add("decode_stacked_chat_s1024", _decode_case, 4, 1024, 1, L=32)
+    # merged chunked-prefill window (serving): Nq = merged_chunk = 64
+    add("decode_stacked_merged_n64", _decode_case, 4, 768, 64, L=32)
     # per-slot / per-layer (unstacked) form, no bridge
     add("decode_unstacked_plain_n1", _decode_case, 1, 768, 1, bridge=False)
 
