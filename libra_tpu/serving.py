@@ -33,6 +33,30 @@ The host scheduler interleaves AT MOST ONE prefill between decode chunks
 while any slot is decoding (VERDICT r3 item 7): a burst of queued prompts
 stalls active slots by one bucketed prefill per chunk, not by the whole
 backlog; dispatches are async, so the host never blocks the device queue.
+
+MERGED CHUNKED PREFILL (v5, default-on where eligible): when a slot frees
+while the pool is busy, its next request's prompt is NOT prefilled as a
+dedicated dispatch (which would stall every decoding slot for a full
+prompt pass). Instead the prompt is "installed" into per-slot device
+prompt buffers and consumed C = `merged_chunk` tokens per iteration by a
+MERGED decode program: each iteration runs ONE (B, C)-token cached
+forward in which decoding rows occupy column 0 (their sampled token) and
+prefilling rows carry their next C-token prompt chunk (ids/vision
+indices/signal/positions sliced on device from the installed buffers).
+Decode is HBM-bandwidth-bound on weights, so the prompt chunk's FLOPs
+ride the same weight stream the decode rows already pay for -- prefill
+compute hides inside decode's memory stalls instead of serialising in
+front of it (SARATHI-style chunked prefill, re-derived for the TPU cost
+model). Chunked prefill is EXACT: per-position projections/norms are
+row-independent and each chunk's attention reads the identical cached
+K/V with exact-zero masked tails, so installed requests emit bit-equal
+tokens to dedicated-prefill runs (tests assert token parity vs the
+Generator). Cold starts (empty pool) and ineligible requests (raw
+pixels, bucket not a multiple of C, prompt too long, or no
+C-1 cache-margin) keep the dedicated grouped prefill path; a merged
+dispatch is only issued when every active row has C slots of cache
+headroom (otherwise classic decode chunks run and in-flight prompt
+installs simply pause -- their device state is untouched).
 Requests may carry `arrival_s` (open-loop load): the scheduler admits each
 request only once its arrival time passes, sleeping when the pool is idle,
 and TTFT is measured from arrival -- a Poisson stream therefore yields
@@ -181,13 +205,22 @@ class ServingEngine:
                  max_len: int = 2048,
                  gen: Optional[GenerationConfig] = None, mesh=None,
                  prompt_bucket: int = 0, decode_chunk: int = 8,
-                 vq_params=None, vq_cfg=None):
+                 vq_params=None, vq_cfg=None,
+                 merged_prefill: Optional[bool] = None,
+                 merged_chunk: int = 64,
+                 max_prefill_group: Optional[int] = None):
         """prompt_bucket > 1 rounds prompt lengths up to a multiple (left-
         padding inside the slot) so the per-prompt-length prefill compile
         cache stays bounded at S/prompt_bucket programs instead of one per
         exact length (a serving footgun flagged in VERDICT r1).
         decode_chunk: decode steps fused into one dispatch (lax.scan).
-        vq_params/vq_cfg enable raw-pixels requests (fused encode)."""
+        vq_params/vq_cfg enable raw-pixels requests (fused encode).
+        merged_prefill: None = auto (on when spec decode / 2D modes are
+        off and the cache can hold a merged_chunk margin); True forces
+        (raising if unsupported); False disables. merged_chunk: prompt
+        tokens consumed per merged iteration (C; see module docstring).
+        max_prefill_group caps the grouped-refill batch (a k=8 full-scale
+        prompt program can crash the remote TPU compiler; k<=4 compiles)."""
         self.cfg = cfg
         self.gen = gen or GenerationConfig()
         self.mesh = mesh
@@ -227,10 +260,12 @@ class ServingEngine:
         # has its S alignment; capacity only grows
         self.S = -(-max_len // 128) * 128 if self.gen.kv_quant else max_len
         self._prefill_fns: Dict[Any, Any] = {}
-        # grouped-refill sizes: powers of two up to max_batch, so the
-        # per-bucket prefill compile cache stays at log2(B)+1 programs
+        # grouped-refill sizes: powers of two up to max_batch (optionally
+        # capped), so the per-bucket prefill compile cache stays at
+        # log2(B)+1 programs
         self._group_sizes = [1]
-        while self._group_sizes[-1] * 2 <= max_batch:
+        cap = min(max_batch, max_prefill_group or max_batch)
+        while self._group_sizes[-1] * 2 <= cap:
             self._group_sizes.append(self._group_sizes[-1] * 2)
         self._decode_fns: Dict[bool, Any] = {}   # keyed on lang_only
         # speculative decoding (gen.spec_decode = gamma > 0): the decode
@@ -248,6 +283,27 @@ class ServingEngine:
         self._spec_fn = None
         self._is_2d = cfg.vision_prediction_mode == "2d"
         self._Rb = max(cfg.image_feature_resolution - 1, 1)
+        # merged chunked prefill (module docstring). Np: the prompt-buffer
+        # width -- the largest C-multiple an installed request can carry
+        # while leaving >= 1 decode slot inside its own C-1 margin.
+        self._C = int(merged_chunk)
+        self._Np = max(0, (self.S - self._C) // self._C * self._C)
+        supported = (self._gamma == 0 and not self._is_2d
+                     and not cfg.use_2d_rope and self._Np >= self._C)
+        if merged_prefill is None:
+            self._merged_on = supported
+        elif merged_prefill:
+            if not supported:
+                raise ValueError(
+                    "merged_prefill needs spec_decode == 0, 1d prediction, "
+                    "1d RoPE and max_len >= 2 * merged_chunk")
+            self._merged_on = True
+        else:
+            self._merged_on = False
+        self._merged_fn = None
+        self._install_fns: Dict[int, Any] = {}
+        self.stats = {"merged_installs": 0, "merged_chunks": 0,
+                      "dedicated_prefills": 0}
         # the Pallas int8 kernel is opaque to GSPMD: under a TP mesh the
         # sharded weights must stay on the XLA path
         from libra_tpu.ops.qlinear import kernel_enabled
@@ -567,6 +623,164 @@ class ServingEngine:
             self._spec_fn = jax.jit(f, donate_argnums=(1, 2, 3, 4, 5))
         return self._spec_fn
 
+    def _install(self, Nb: int):
+        """One compiled install per prompt bucket: write one staged request
+        into the per-slot device prompt buffers (row `slot` of pids/pvi/
+        ppm/ppos/psig), zero the slot's attention-mask row and reset its
+        cache index -- a handful of small writes, one ~free dispatch, vs a
+        full dedicated prompt pass. The prompt is then consumed C tokens
+        per merged iteration while the other slots keep decoding."""
+        if Nb not in self._install_fns:
+            def f(cache, mask_buf, pids, pvi, ppm, ppos, psig, req, slot):
+                z = jnp.zeros((1, mask_buf.shape[1]), mask_buf.dtype)
+                mask_buf = jax.lax.dynamic_update_slice_in_dim(
+                    mask_buf, z, slot, axis=0)
+                index = jax.lax.dynamic_update_slice(
+                    cache.index, jnp.zeros((1,), cache.index.dtype), (slot,))
+                dus = jax.lax.dynamic_update_slice
+                pids = dus(pids, req["ids"][:, None].astype(pids.dtype),
+                           (0, slot, 0))
+                pvi = dus(pvi, req["vi"][None].astype(pvi.dtype), (slot, 0))
+                ppm = dus(ppm, req["pm"][None].astype(ppm.dtype), (slot, 0))
+                ppos = dus(ppos, req["pos"][None].astype(ppos.dtype),
+                           (slot, 0))
+                psig = dus(psig, req["sig"][None].astype(psig.dtype),
+                           (slot, 0, 0))
+                return (cache._replace(index=index), mask_buf, pids, pvi,
+                        ppm, ppos, psig)
+
+            self._install_fns[Nb] = jax.jit(
+                f, donate_argnums=(0, 1, 2, 3, 4, 5, 6))
+        return self._install_fns[Nb]
+
+    def _merged(self):
+        """Merged chunked-prefill decode chunk: `decode_chunk` iterations
+        in one dispatch; each iteration is ONE (B, C)-token cached forward
+        where decoding rows occupy column 0 (their sampled token -- the
+        remaining columns are masked pads whose K/V lands in virgin slots
+        and is overwritten before it could ever be attended) and
+        prefilling rows carry their next C prompt tokens. A prefilling
+        row's final chunk leaves its prompt-end logits in the carried
+        last_logits, flips it to decoding ON DEVICE, and it samples its
+        first token the very next iteration -- no dedicated prefill
+        dispatch, no stall of the other slots. Exactness: see the module
+        docstring (chunked prefill is bitwise the wide pass); decode rows
+        run the full dual-path body, which is value-identical to the
+        lang-only body on text rows (models.libra.forward docstring)."""
+        if self._merged_fn is None:
+            from libra_tpu.spec_decode import _update_window
+            cfg, gen = self.cfg, self.gen
+            C, K = self._C, self.decode_chunk
+            Mv = cfg.max_vision_token_length
+            Q = cfg.vision_codebook_num
+
+            def step(params, pids, pvi, ppm, ppos, psig, pf_len, pf_budget,
+                     carry):
+                (cache, mask_buf, last_logits, vi_last, pos_last, active,
+                 budget, pf, pf_off, rng) = carry
+                B = mask_buf.shape[0]
+                # re-anchor prefilling rows at pf_off: classic decode
+                # dispatches issued while an install was paused advance
+                # EVERY row's cache index (forward's unconditional +N),
+                # and a paused row's junk single-token writes land in
+                # [pf_off, ...) -- all overwritten by its later chunks
+                P = jnp.where(pf, pf_off, cache.index)            # (B,)
+                cache = cache._replace(index=P)
+                rng, step_rng = jax.random.split(rng)
+                tok = sample_tokens(last_logits, gen, step_rng)   # (Q, B)
+                tok = jnp.where(active[None], tok, gen.pad_token_id)
+                eos_hit = jnp.any(tok == gen.eos_token_id, axis=0) & active
+                vi_dec = jnp.where(active, jnp.minimum(vi_last + 1, Mv),
+                                   vi_last)
+                pos_dec = jnp.where(active, pos_last + 1, pos_last)
+
+                def sl(buf, off):          # (B, Np, ...) -> (B, C, ...)
+                    def row(r, o):
+                        return jax.lax.dynamic_slice(
+                            r, (o,) + (0,) * (r.ndim - 1),
+                            (C,) + r.shape[1:])
+                    return jax.vmap(row)(buf, off)
+
+                ch_vi = sl(pvi, pf_off)
+                ch_pm = sl(ppm, pf_off)
+                ch_pos = sl(ppos, pf_off)
+                ch_sig = sl(psig, pf_off)
+                ch_ids = jax.vmap(
+                    lambda r, o: jax.lax.dynamic_slice(r, (0, o), (Q, C)),
+                    in_axes=(1, 0), out_axes=1)(pids, pf_off)
+
+                dec_ids = jnp.concatenate(
+                    [tok[:, :, None].astype(ch_ids.dtype),
+                     jnp.full((Q, B, C - 1), gen.pad_token_id,
+                              ch_ids.dtype)], axis=2)
+                dec_vi = jnp.concatenate(
+                    [vi_dec[:, None],
+                     jnp.full((B, C - 1), Mv, vi_dec.dtype)], axis=1)
+                dec_pm = jnp.concatenate(
+                    [active[:, None].astype(ch_pm.dtype),
+                     jnp.zeros((B, C - 1), ch_pm.dtype)], axis=1)
+                ids_w = jnp.where(pf[None, :, None], ch_ids, dec_ids)
+                vi_w = jnp.where(pf[:, None], ch_vi, dec_vi)
+                pm_w = jnp.where(pf[:, None], ch_pm, dec_pm)
+                pos_w = jnp.where(pf[:, None], ch_pos,
+                                  jnp.broadcast_to(pos_dec[:, None], (B, C)))
+                sig_w = jnp.where(pf[:, None, None], ch_sig, 0.0)
+                cnt = jnp.where(pf, C, active.astype(jnp.int32))
+
+                mask_buf = jax.vmap(_update_window,
+                                    in_axes=(0, 0, 0, None))(
+                    mask_buf, pm_w, P, jnp.ones((C,), bool))
+                out = M.forward(params, cfg, ids_w, mask_buf, vi_w, sig_w,
+                                position_ids=pos_w, cache=cache,
+                                attn_impl=self._attn_impl)
+                cache = out.cache._replace(index=P + cnt)
+
+                sel = jnp.maximum(cnt - 1, 0)[:, None, None]
+                h_sel = jnp.take_along_axis(out.hidden_states, sel, axis=1)
+                vi_sel = jnp.where(pf, ch_vi[:, -1], vi_dec)
+                pos_sel = jnp.where(pf, ch_pos[:, -1], pos_dec)
+                logits = _last_position_logits(params, cfg, h_sel,
+                                               vi_sel < Mv, vi_sel)
+                upd = cnt > 0
+                last_logits = jnp.where(upd[None, :, None],
+                                        logits.astype(last_logits.dtype),
+                                        last_logits)
+                vi_last = jnp.where(upd, vi_sel, vi_last)
+                pos_last = jnp.where(upd, pos_sel, pos_last)
+
+                budget = budget - active.astype(budget.dtype)
+                active_next = active & ~eos_hit & (budget > 0)
+                pf_done = pf & (pf_off + C >= pf_len)
+                pf_off = jnp.where(pf, pf_off + C, pf_off)
+                budget = jnp.where(pf_done, pf_budget, budget)
+                active_next = active_next | pf_done
+                pf = pf & ~pf_done
+                carry = (cache, mask_buf, last_logits, vi_last, pos_last,
+                         active_next, budget, pf, pf_off, rng)
+                return carry, (tok, active)
+
+            import functools
+
+            def f(params, cache, mask_buf, last_logits, vi_last, pos_last,
+                  pids, pvi, ppm, ppos, psig,
+                  active, budget, pf_active, pf_off, pf_len, pf_budget,
+                  rng):
+                carry = (cache, mask_buf, last_logits, vi_last, pos_last,
+                         active, budget, pf_active, pf_off, rng)
+                body = functools.partial(step, params, pids, pvi, ppm,
+                                         ppos, psig, pf_len, pf_budget)
+                carry, (toks, acts) = jax.lax.scan(
+                    lambda c, _: body(c), carry, None, length=K)
+                (cache, mask_buf, logits, vi_last, pos_last,
+                 *_rest) = carry
+                return (toks, acts, cache, mask_buf, logits, vi_last,
+                        pos_last)
+
+            # prompt buffers (6..10) are read-only here: installed by
+            # _install, sliced per iteration -- NOT donated
+            self._merged_fn = jax.jit(f, donate_argnums=(1, 2, 3, 4, 5))
+        return self._merged_fn
+
     # -- host-side scheduler -------------------------------------------------
 
     def run(self, requests: List[Request],
@@ -643,6 +857,46 @@ class ServingEngine:
         slot_toks: List[List[np.ndarray]] = [[] for _ in range(B)]
         slot_ttft: List[Optional[float]] = [None] * B
         rng = jax.random.PRNGKey(0)
+        # merged chunked prefill: device prompt buffers + host mirrors of
+        # the on-device pf state (transitions are deterministic, so the
+        # host replays them from the returned (tokens, actives) alone)
+        mg, C, Np = self._merged_on, self._C, self._Np
+        if mg:
+            pids = jnp.zeros((Q, B, Np), jnp.int32)
+            pvi = jnp.full((B, Np), cfg.max_vision_token_length, jnp.int32)
+            ppm = jnp.zeros((B, Np), jnp.int32)
+            ppos = jnp.ones((B, Np), jnp.int32)
+            psig = jnp.zeros((B, Np, cfg.contiguous_signal_size),
+                             jnp.float32)
+        pf_active = np.zeros((B,), bool)
+        pf_rem = np.zeros((B,), np.int32)     # merged chunks left
+        pf_off = np.zeros((B,), np.int32)
+        pf_len = np.zeros((B,), np.int32)
+        pf_budget = np.zeros((B,), np.int32)
+        slot_plen = np.zeros((B,), np.int32)  # bucketed prompt length
+
+        def merged_eligible(req) -> bool:
+            if not mg or req.pixels is not None:
+                return False
+            Nb = bucketed(req.input_ids.shape[-1])
+            return (Nb % C == 0 and Nb <= Np
+                    and Nb + req.max_new_tokens + C - 1 <= S)
+
+        def merged_safe() -> bool:
+            """A merged dispatch writes C-wide windows at every row's
+            index: only issue one when each ACTIVE row keeps its window
+            in-bounds for the whole chunk (else the dynamic_update_slice
+            clamp would stomp valid cache slots). Unsafe rows run classic
+            decode chunks instead and in-flight installs simply pause."""
+            for s in range(B):
+                if not active[s]:
+                    continue
+                p_now = slot_plen[s] + len(slot_toks[s])
+                p_max = min(p_now + self.decode_chunk - 1,
+                            slot_plen[s] + slot_req[s].max_new_tokens - 1)
+                if p_max + C > S:
+                    return False
+            return True
 
         def bucketed(n):
             b = self.prompt_bucket
@@ -674,6 +928,11 @@ class ServingEngine:
                      else np.zeros((n, cfg.contiguous_signal_size),
                                    np.float32))
                 d["sig"] = np.pad(s, ((pad, 0), (0, 0)))
+                if self._merged_on:
+                    # host-side position ids for the merged chunk slices
+                    # (position_ids_from_mask semantics: pads pinned to 1)
+                    pos = np.cumsum(d["pm"], -1).astype(np.int32) - 1
+                    d["pos"] = np.where(d["pm"] == 0, 1, pos)
             return jax.device_put(d)
 
         def prestage():
@@ -689,13 +948,17 @@ class ServingEngine:
                 n += 1
 
         def try_fill(limit: Optional[int] = None):
-            """Fill free slots from the queue. Each iteration prefills a
-            GROUP of up-to-len(free) head-of-queue requests that share a
-            (prompt bucket, pixels?) program shape, as one B=k dispatch
-            (k restricted to self._group_sizes). `limit` bounds the number
-            of prefill DISPATCHES (1 while slots are decoding)."""
+            """Fill free slots from the queue. Merged-eligible head
+            requests are INSTALLED (one ~free dispatch each) whenever the
+            pool is busy, so their prompts ride the merged decode chunks
+            instead of stalling it; everything else prefills a GROUP of
+            up-to-len(free) head-of-queue requests that share a (prompt
+            bucket, pixels?) program shape, as one B=k dispatch (k
+            restricted to self._group_sizes). `limit` bounds the number
+            of DEDICATED prefill dispatches (1 while slots are decoding;
+            installs are never the stall they guard against)."""
             nonlocal cache, mask_buf, logits, vi_last, pos_last, hist, \
-                hist_ids
+                hist_ids, pids, pvi, ppm, ppos, psig
             dispatches = 0
             while True:
                 na = n_arrived()
@@ -714,7 +977,35 @@ class ServingEngine:
                                           np.zeros((Q, 0), np.int64),
                                           "capacity"))
                     emit(req.request_id, None, True, "capacity")
-                free = [s for s in range(B) if not active[s]]
+                free = [s for s in range(B) if not active[s]
+                        and not pf_active[s]]
+                if not na or not free:
+                    return
+                # merged installs: pool busy + eligible head-of-queue
+                while (na and free and (active.any() or pf_active.any())
+                       and merged_eligible(queue[0])):
+                    req = queue.pop(0)
+                    na -= 1
+                    slot = free.pop(0)
+                    Nb = bucketed(req.input_ids.shape[-1])
+                    d = staged.pop(req.request_id, None) or stage(req)
+                    with self._qk_ctx():
+                        (cache, mask_buf, pids, pvi, ppm, ppos,
+                         psig) = self._install(Nb)(
+                            cache, mask_buf, pids, pvi, ppm, ppos, psig,
+                            d, jnp.int32(slot))
+                    pf_active[slot] = True
+                    pf_rem[slot] = Nb // C
+                    pf_off[slot] = 0
+                    pf_len[slot] = Nb
+                    pf_budget[slot] = req.max_new_tokens
+                    slot_plen[slot] = Nb
+                    active[slot] = False
+                    budget[slot] = 0
+                    slot_req[slot] = req
+                    slot_toks[slot] = []
+                    slot_ttft[slot] = None
+                    self.stats["merged_installs"] += 1
                 if not na or not free:
                     return
                 if limit is not None and dispatches >= limit:
@@ -755,7 +1046,9 @@ class ServingEngine:
                     slot_req[slot] = group[i]
                     slot_toks[slot] = []
                     slot_ttft[slot] = None
+                    slot_plen[slot] = Nb
                 dispatches += 1
+                self.stats["dedicated_prefills"] += 1
 
         def finish(slot, reason):
             req = slot_req[slot]
@@ -773,8 +1066,8 @@ class ServingEngine:
 
         prestage()
         try_fill()
-        while active.any() or queue:
-            if not active.any():
+        while active.any() or pf_active.any() or queue:
+            if not active.any() and not pf_active.any():
                 # pool idle, work still queued: the head either hasn't
                 # arrived yet (sleep until it does) or just became visible
                 nxt = queue[0].arrival_s or 0.0
@@ -783,6 +1076,56 @@ class ServingEngine:
                     time.sleep(wait)
                 prestage()
                 try_fill()
+                continue
+            if pf_active.any() and merged_safe():
+                rng, step_rng = jax.random.split(rng)
+                with self._qk_ctx():
+                    (toks, acts, cache, mask_buf, logits, vi_last,
+                     pos_last) = self._merged()(
+                        self.params, cache, mask_buf, logits, vi_last,
+                        pos_last, pids, pvi, ppm, ppos, psig,
+                        jnp.asarray(active), jnp.asarray(budget),
+                        jnp.asarray(pf_active), jnp.asarray(pf_off),
+                        jnp.asarray(pf_len), jnp.asarray(pf_budget),
+                        step_rng)
+                self.stats["merged_chunks"] += 1
+                prestage()
+                toks_np = np.asarray(toks)              # (K, Q, B)
+                acts_np = np.asarray(acts)              # (K, B)
+                t_now = time.perf_counter()
+                # replay the on-device transitions: emissions from the
+                # returned (tokens, actives); pf completion/off/budget are
+                # deterministic in (pf_len, C, iteration)
+                for k in range(acts_np.shape[0]):
+                    was_pf = pf_active.copy()
+                    for slot in range(B):
+                        if was_pf[slot]:
+                            pf_rem[slot] -= 1
+                            pf_off[slot] += C
+                            if pf_rem[slot] <= 0:
+                                pf_active[slot] = False
+                                active[slot] = True
+                                budget[slot] = pf_budget[slot]
+                            continue
+                        if not acts_np[k, slot] or not active[slot]:
+                            continue
+                        req = slot_req[slot]
+                        if slot_ttft[slot] is None:
+                            slot_ttft[slot] = (t_now - t0
+                                               - (req.arrival_s or 0.0))
+                        tok_q = toks_np[k, :, slot]
+                        slot_toks[slot].append(tok_q)
+                        budget[slot] -= 1
+                        if (tok_q == gen.eos_token_id).any():
+                            finish(slot, "eos")
+                            emit(req.request_id, tok_q, True, "eos")
+                        elif budget[slot] <= 0:
+                            finish(slot, "length")
+                            emit(req.request_id, tok_q, True, "length")
+                        else:
+                            emit(req.request_id, tok_q, False, None)
+                try_fill(limit=1 if (active.any() or pf_active.any())
+                         else None)
                 continue
             if self._gamma:
                 with self._qk_ctx():

@@ -496,3 +496,124 @@ def test_engine_spec_decode_int8_kv(tiny):
     r_spec = eng_spec.run([r for r, _ in pairs])
     for a, b in zip(r_std, r_spec):
         np.testing.assert_array_equal(b.tokens, a.tokens)
+
+
+# -- merged chunked prefill (v5) ---------------------------------------------
+
+
+def test_engine_merged_prefill_matches_generator(tiny):
+    """Merged chunked prefill: refills are installed into the merged decode
+    chunk (C prompt tokens per iteration riding the decode weight stream)
+    instead of dedicated prefill dispatches, with exact per-request parity.
+    Staggered max_new keeps the pool busy whenever a slot frees, so the
+    merged path is genuinely exercised (asserted via engine stats)."""
+    cfg, params = tiny
+    gen = GenerationConfig(eos_token_id=-1)
+    pairs = _requests(cfg, 6)            # staggered max_new 4..8
+    eng = ServingEngine(params, cfg, max_batch=2, max_len=64, gen=gen,
+                        prompt_bucket=8, decode_chunk=3,
+                        merged_prefill=True, merged_chunk=8)
+    results = eng.run([r for r, _ in pairs])
+    assert eng.stats["merged_installs"] > 0, eng.stats
+    assert eng.stats["merged_chunks"] > 0, eng.stats
+    assert eng.stats["dedicated_prefills"] > 0, eng.stats  # cold start
+    assert all(r.ttft_s is not None for r in results)
+    _check_parity(results, pairs, params, cfg)
+
+
+def test_engine_merged_prefill_int8_kv(tiny):
+    """Merged installs over the int8 KV cache: the chunk forward writes
+    quantized K/V at per-row windows exactly like the wide prefill."""
+    from libra_tpu.quantization import quantize_params
+
+    cfg, params = tiny
+    qparams = quantize_params(params, min_elems=0)
+    gen = GenerationConfig(eos_token_id=-1, kv_quant=True)
+    pairs = _requests(cfg, 5)
+    eng = ServingEngine(qparams, cfg, max_batch=2, max_len=64, gen=gen,
+                        prompt_bucket=8, merged_prefill=True,
+                        merged_chunk=8)
+    results = eng.run([r for r, _ in pairs])
+    assert eng.stats["merged_installs"] > 0, eng.stats
+    g = Generator(qparams, cfg)
+    _check_parity(results, pairs, params, cfg,
+                  gen_kw={"kv_quant": True}, gen=g)
+
+
+def test_engine_merged_prefill_dual_decode(tiny):
+    """Merged mode composes with dual-modality decode (multi-codebook
+    sampling, vision-index advance): decode rows run the same full-path
+    body the chunk rows need."""
+    cfg, params = tiny
+    gen = GenerationConfig(eos_token_id=-1, decode_modality="dual")
+    pairs = _requests(cfg, 5)
+    eng = ServingEngine(params, cfg, max_batch=2, max_len=64, gen=gen,
+                        prompt_bucket=8, merged_prefill=True,
+                        merged_chunk=8)
+    results = eng.run([r for r, _ in pairs])
+    assert eng.stats["merged_installs"] > 0, eng.stats
+    _check_parity(results, pairs, params, cfg,
+                  gen_kw={"decode_modality": "dual"})
+
+
+def test_engine_merged_prefill_eos_and_streaming(tiny):
+    """EOS fired by a merged-installed request finishes it mid-chunk; the
+    on_token stream reports every token in order with correct finals."""
+    cfg, params = tiny
+    pairs = _requests(cfg, 4)
+    g = Generator(params, cfg)
+    req0, inputs0 = pairs[2]
+    # the token request 2 greedily emits SECOND becomes the EOS
+    want = np.asarray(g(inputs0, GenerationConfig(
+        max_new_tokens=2, eos_token_id=-1)).sequences)
+    eos = int(want[0, 0, -1])
+
+    events = []
+    eng = ServingEngine(params, cfg, max_batch=2, max_len=64,
+                        gen=GenerationConfig(eos_token_id=eos),
+                        prompt_bucket=8, merged_prefill=True,
+                        merged_chunk=8)
+    results = eng.run([r for r, _ in pairs],
+                      on_token=lambda rid, tok, fin: events.append(
+                          (rid, None if tok is None else tuple(tok), fin)))
+    by_req = {r.request_id: r for r in results}
+    for rid, res in by_req.items():
+        ev = [e for e in events if e[0] == rid]
+        assert len(ev) == max(res.tokens.shape[-1], 1)
+        finals = [e for e in ev if e[2] is not None]
+        assert len(finals) == 1 and finals[0] is ev[-1]
+        assert finals[0][2] == res.finish_reason
+    # at least one request actually ended on EOS
+    assert any(r.finish_reason == "eos" for r in results)
+
+
+def test_engine_merged_fallback_when_bucket_incompatible(tiny):
+    """Requests whose bucketed length is not a C-multiple (or engines
+    without headroom) silently keep the dedicated prefill path."""
+    cfg, params = tiny
+    gen = GenerationConfig(eos_token_id=-1)
+    pairs = _requests(cfg, 4)
+    eng = ServingEngine(params, cfg, max_batch=2, max_len=64, gen=gen,
+                        prompt_bucket=4, merged_prefill=True,
+                        merged_chunk=8)   # Nb in {12, 16, 20}: mixed
+    results = eng.run([r for r, _ in pairs])
+    _check_parity(results, pairs, params, cfg)
+    # spec decode / 2D modes refuse forced merged mode
+    with pytest.raises(ValueError):
+        ServingEngine(params, cfg, max_batch=2, max_len=64,
+                      gen=GenerationConfig(eos_token_id=-1, spec_decode=2),
+                      merged_prefill=True)
+
+
+def test_engine_prefill_group_cap(tiny):
+    """max_prefill_group bounds grouped-refill program width (full-scale
+    k=8 prompt programs crash the remote TPU compiler) with exact parity."""
+    cfg, params = tiny
+    gen = GenerationConfig(eos_token_id=-1)
+    pairs = _requests(cfg, 6, max_new=4)
+    eng = ServingEngine(params, cfg, max_batch=4, max_len=64, gen=gen,
+                        max_prefill_group=2)
+    assert max(eng._group_sizes) == 2
+    results = eng.run([r for r, _ in pairs])
+    assert all(k[2] <= 2 for k in eng._prefill_fns)
+    _check_parity(results, pairs, params, cfg)
