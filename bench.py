@@ -630,7 +630,7 @@ def bench_serving(B=4, n_requests=24, max_new=64, decode_chunk=16,
                         prompt_bucket=640, decode_chunk=decode_chunk,
                         max_prefill_group=group_cap)
 
-    def make_reqs(n):
+    def make_reqs(n, stagger=False):
         reqs = []
         for i in range(n):
             tl = 16 + (i % 4) * 8         # mixed prompt lengths, one bucket
@@ -639,12 +639,16 @@ def bench_serving(B=4, n_requests=24, max_new=64, decode_chunk=16,
                 request_id=i, input_ids=np.asarray(ids[:, 0]),
                 vision_indices=np.asarray(vi[0]),
                 contiguous_signal=np.asarray(sig[0]),
-                max_new_tokens=max_new))
+                # staggered completions (warmup): slots free one at a time
+                # while others decode, so the merged-prefill install path
+                # and its compiled chunk program warm up too
+                max_new_tokens=max_new - 8 * (i % B) if stagger else max_new))
         return reqs
 
-    # warmup compiles the decode chunk AND every grouped-refill prefill
-    # size the timed run can hit (initial k=B, then k=2 and k=1 refills)
-    eng.run(make_reqs(2 * B - 1))
+    # warmup compiles the decode chunk, every grouped-refill prefill size
+    # the timed run can hit (initial k=B, then k=2 and k=1 refills), AND
+    # the merged chunked-prefill install/chunk programs (staggered ends)
+    eng.run(make_reqs(2 * B - 1, stagger=True))
     reqs = make_reqs(n_requests)
     t0 = time.perf_counter()
     results = eng.run(reqs)

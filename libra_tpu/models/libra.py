@@ -272,6 +272,54 @@ def _write_cache(buf, new: jax.Array, layer_idx, index):
         buf, new[None], (li, 0, index, 0, 0))
 
 
+def _write_cache_row(buf, new: jax.Array, layer_idx, row, offset,
+                     write=None):
+    """Write one row's K/V block into the FULL STACKED cache buffer at a
+    traced (row, sequence-offset): new (1, C, H, d) lands at
+    buf[layer_idx, row, offset:offset+C] (head-major transpose for
+    quantized buffers, as _write_cache). The serving engine's packed
+    merged-prefill step uses this for the prompt-chunk segment -- ONE
+    contiguous block write per layer instead of C scattered tokens.
+
+    write (scalar bool or None): when False the write is a VALUE-masked
+    no-op (old block read back and rewritten). The packed step's "parked"
+    iterations target the just-finished row's decode territory, where a
+    blind junk write would clobber the decode token K/V written earlier
+    in the same layer."""
+    from libra_tpu.quantization import QuantizedArray
+
+    li = jnp.asarray(layer_idx, jnp.int32)
+    C = new.shape[1]
+    if isinstance(buf, QuantizedArray):
+        a = jnp.max(jnp.abs(new.astype(jnp.float32)), axis=-1, keepdims=True)
+        scale = jnp.where(a > 0, a, 1.0) / 127.0
+        q = jnp.clip(jnp.round(new.astype(jnp.float32) / scale),
+                     -127, 127).astype(jnp.int8)
+        q_hm = q.transpose(0, 2, 1, 3)                       # (1, H, C, d)
+        scale_hn = scale[..., 0].transpose(0, 2, 1).astype(buf.scale.dtype)
+        if write is not None:
+            H, d = q_hm.shape[1], q_hm.shape[3]
+            old_q = jax.lax.dynamic_slice(
+                buf.q, (li, row, 0, offset, 0), (1, 1, H, C, d))[0]
+            old_s = jax.lax.dynamic_slice(
+                buf.scale, (li, row, 0, offset), (1, 1, H, C))[0]
+            q_hm = jnp.where(write, q_hm, old_q)
+            scale_hn = jnp.where(write, scale_hn, old_s)
+        new_q = jax.lax.dynamic_update_slice(
+            buf.q, q_hm[None], (li, row, 0, offset, 0))
+        new_scale = jax.lax.dynamic_update_slice(
+            buf.scale, scale_hn[None], (li, row, 0, offset))
+        return QuantizedArray(new_q, new_scale)
+    blk = new.astype(buf.dtype)
+    if write is not None:
+        H, d = blk.shape[2], blk.shape[3]
+        old = jax.lax.dynamic_slice(
+            buf, (li, row, offset, 0, 0), (1, 1, C, H, d))[0]
+        blk = jnp.where(write, blk, old)
+    return jax.lax.dynamic_update_slice(
+        buf, blk[None], (li, row, offset, 0, 0))
+
+
 # ---------------------------------------------------------------------------
 # Embeddings
 # ---------------------------------------------------------------------------

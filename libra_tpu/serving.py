@@ -39,24 +39,25 @@ while the pool is busy, its next request's prompt is NOT prefilled as a
 dedicated dispatch (which would stall every decoding slot for a full
 prompt pass). Instead the prompt is "installed" into per-slot device
 prompt buffers and consumed C = `merged_chunk` tokens per iteration by a
-MERGED decode program: each iteration runs ONE (B, C)-token cached
-forward in which decoding rows occupy column 0 (their sampled token) and
-prefilling rows carry their next C-token prompt chunk (ids/vision
-indices/signal/positions sliced on device from the installed buffers).
-Decode is HBM-bandwidth-bound on weights, so the prompt chunk's FLOPs
-ride the same weight stream the decode rows already pay for -- prefill
-compute hides inside decode's memory stalls instead of serialising in
-front of it (SARATHI-style chunked prefill, re-derived for the TPU cost
-model). Chunked prefill is EXACT: per-position projections/norms are
-row-independent and each chunk's attention reads the identical cached
-K/V with exact-zero masked tails, so installed requests emit bit-equal
-tokens to dedicated-prefill runs (tests assert token parity vs the
-Generator). Cold starts (empty pool) and ineligible requests (raw
-pixels, bucket not a multiple of C, prompt too long, or no
-C-1 cache-margin) keep the dedicated grouped prefill path; a merged
-dispatch is only issued when every active row has C slots of cache
-headroom (otherwise classic decode chunks run and in-flight prompt
-installs simply pause -- their device state is untouched).
+MERGED decode program whose forward runs over a TOKEN-PACKED flat axis of
+T = B + C positions: the B decode tokens (one per slot) followed by the
+next C prompt tokens of ONE prefilling slot (ids/vision indices/signal/
+positions sliced on device from the installed buffers). Every dense op is
+token-pointwise, so the chunk adds only C real positions of FLOPs to the
+weight stream the decode tokens already stream -- prefill compute hides
+inside decode's memory stalls instead of serialising in front of it
+(SARATHI-style chunked prefill, re-derived for the TPU cost model; a
+dense (B, C) layout was built first and measured out: its B*C garbage
+positions cost more MXU time than the dedicated-prefill stall it
+removes). Attention splits the packed axis into its two native shapes --
+the decode segment is EXACTLY the classic per-row Nq=1 step, the chunk
+segment attends its own cache row at Nq=C. Chunked prefill is EXACT:
+per-position projections/norms are row-independent and each chunk's
+attention reads the identical cached K/V with exact-zero masked tails,
+so installed requests emit bit-equal tokens to dedicated-prefill runs
+(tests assert token parity vs the Generator). Cold starts (empty pool)
+and ineligible requests (raw pixels, bucket not a multiple of C, prompt
+longer than the buffer) keep the dedicated grouped prefill path.
 Requests may carry `arrival_s` (open-loop load): the scheduler admits each
 request only once its arrival time passes, sleeping when the pool is idle,
 and TTFT is measured from arrival -- a Poisson stream therefore yields
@@ -654,38 +655,216 @@ class ServingEngine:
         return self._install_fns[Nb]
 
     def _merged(self):
-        """Merged chunked-prefill decode chunk: `decode_chunk` iterations
-        in one dispatch; each iteration is ONE (B, C)-token cached forward
-        where decoding rows occupy column 0 (their sampled token -- the
-        remaining columns are masked pads whose K/V lands in virgin slots
-        and is overwritten before it could ever be attended) and
-        prefilling rows carry their next C prompt tokens. A prefilling
-        row's final chunk leaves its prompt-end logits in the carried
-        last_logits, flips it to decoding ON DEVICE, and it samples its
-        first token the very next iteration -- no dedicated prefill
-        dispatch, no stall of the other slots. Exactness: see the module
-        docstring (chunked prefill is bitwise the wide pass); decode rows
-        run the full dual-path body, which is value-identical to the
-        lang-only body on text rows (models.libra.forward docstring)."""
+        """Merged chunked-prefill decode chunk, TOKEN-PACKED: each of
+        `decode_chunk` iterations runs ONE forward over a flat packed
+        token axis of T = B + C positions -- the B decode tokens (one per
+        slot, column b belongs to cache row b) followed by the next C
+        prompt tokens of ONE prefilling slot. Every dense op (embeds,
+        projections, norms, MLP) is token-pointwise, so the prompt chunk
+        adds only C real positions of FLOPs to the weight stream the
+        decode tokens already pay for (a (B, C)-dense layout would pay
+        B*C positions -- 4x garbage at B=4 -- which costs MORE than the
+        dedicated-prefill stall it removes; measured cost model in
+        docs/serving.md). Attention splits the packed axis back into its
+        two native shapes: the decode segment is EXACTLY the classic
+        Nq=1-per-row step (same fused int8 kernel call), and the chunk
+        segment attends its own row's cache slice at Nq=C.
+
+        One prefilling slot advances per iteration (FIFO by slot index);
+        queued installs wait their turn, and iterations after the last
+        chunk "park" the segment on the just-finished row at its prompt
+        end, where the junk K/V is overwritten by that row's own decode
+        writes before any mask bit turns 1 (mask/flag parking writes are
+        value-masked outright).
+
+        A prefilling row's final chunk leaves its prompt-end logits in
+        the carried last_logits, flips it to decoding ON DEVICE, and it
+        samples its first token the very next iteration -- no dedicated
+        prefill dispatch, no stall of the other slots. Exactness: see the
+        module docstring (chunked prefill computes bitwise the wide pass);
+        decode tokens run the full dual-path body, value-identical to the
+        lang-only body on text rows (models.libra.forward docstring).
+        Layer-body math mirrors models.libra.decoder_layer/_attention --
+        that file is canonical; parity tests pin this copy to it."""
         if self._merged_fn is None:
-            from libra_tpu.spec_decode import _update_window
+            import functools
+
+            from libra_tpu.ops.attention import (AttentionInputs, BIG_NEG,
+                                                 bridged_attention)
+            from libra_tpu.ops.norm import rms_norm
+            from libra_tpu.ops.pallas import decode_attention as DA
+            from libra_tpu.ops.rope import apply_rope, rope_cos_sin
+            from libra_tpu.ops.routed import (routed_linear, routed_low_rank,
+                                              select_by_flag)
+            from libra_tpu.quantization import (LayerView, QuantizedArray)
+
             cfg, gen = self.cfg, self.gen
-            C, K = self._C, self.decode_chunk
+            B, C, K = self.B, self._C, self.decode_chunk
+            T = B + C
             Mv = cfg.max_vision_token_length
             Q = cfg.vision_codebook_num
+            H = cfg.num_attention_heads
+            D = cfg.hidden_size
+            eps = cfg.rms_norm_eps
+            am = cfg.addition_mode
+
+            def take_layer(layers, idx):
+                # models.libra.forward::take_layer (stacked-params pick)
+                def pick(leaf):
+                    if isinstance(leaf, QuantizedArray):
+                        return LayerView(leaf, idx)
+                    return leaf[idx]
+                return jax.tree_util.tree_map(
+                    pick, layers,
+                    is_leaf=lambda x: isinstance(x, QuantizedArray))
+
+            def packed_layer(p, bufs, li, h, flag, cos, sin, pos, P_dec,
+                             pf_slot, off_w, has_pf, kv_flag, bias_dec,
+                             bias_ch):
+                # h (1, T, D); decode tokens [0, B), chunk tokens [B, T)
+                def rnorm(x, name):
+                    return select_by_flag(
+                        flag, rms_norm(x, p["vision_" + name], eps),
+                        rms_norm(x, p[name], eps))
+
+                hn = rnorm(h, "input_layernorm")
+                a = p["attn"]
+
+                def rproj(name):
+                    vp = a["vision_" + name[0]]
+                    return routed_linear(hn, flag, a[name], vp["wa"],
+                                         vp["wb"], am)
+
+                q = M._split_heads(rproj("q_proj"), H)
+                k = M._split_heads(rproj("k_proj"), H)
+                v = M._split_heads(rproj("v_proj"), H)
+                q = apply_rope(q, cos, sin, pos)
+                k = apply_rope(k, cos, sin, pos)
+                kb = vb = None
+                if cfg.use_bridge:
+                    kb = M._split_heads(routed_low_rank(
+                        hn, flag, a["k_bridge_lang"]["wa"],
+                        a["k_bridge_lang"]["wb"], a["k_bridge_vis"]["wa"],
+                        a["k_bridge_vis"]["wb"]), H)
+                    vb = M._split_heads(routed_low_rank(
+                        hn, flag, a["v_bridge_lang"]["wa"],
+                        a["v_bridge_lang"]["wb"], a["v_bridge_vis"]["wa"],
+                        a["v_bridge_vis"]["wb"]), H)
+                    kb = apply_rope(kb, cos, sin, pos)
+
+                def seg(x):   # (1, T, H, d) -> (B, 1, H, d), (1, C, H, d)
+                    return x[0, :B][:, None], x[:, B:]
+
+                def wr(buf, x):
+                    d_, c_ = seg(x)
+                    out = M._write_cache(buf, d_, li, P_dec)
+                    # value-masked when parked: the park window overlaps
+                    # the just-finished row's decode territory, and the
+                    # decode-token write above must survive
+                    return M._write_cache_row(out, c_, li, pf_slot, off_w,
+                                              write=has_pf)
+
+                q_dec, q_ch = seg(q)
+                new_bufs = {"k": wr(bufs["k"], k), "v": wr(bufs["v"], v)}
+                if cfg.use_bridge:
+                    new_bufs["kb"] = wr(bufs["kb"], kb)
+                    new_bufs["vb"] = wr(bufs["vb"], vb)
+                ck, cv = new_bufs["k"], new_bufs["v"]
+                ckb, cvb = new_bufs.get("kb"), new_bufs.get("vb")
+                flag_dec = flag[0, :B]
+                flag_ch = flag[:, B:]
+
+                # ---- decode segment: EXACTLY the classic Nq=1 step ----
+                if (DA.decode_kernel_active()
+                        and DA.decode_kernel_applicable(cfg, ck, 1)):
+                    dec_out = DA.int8_decode_attention(
+                        q_dec, ck.q, ck.scale, cv.q, cv.scale,
+                        kbq=None if ckb is None else ckb.q,
+                        kbs=None if ckb is None else ckb.scale,
+                        vbq=None if cvb is None else cvb.q,
+                        vbs=None if cvb is None else cvb.scale,
+                        flag_q=flag_dec, kv_flag=kv_flag,
+                        bias=bias_dec, layer_idx=li, interpret=DA.INTERPRET)
+                else:
+                    def rd(buf):
+                        # models.libra._attention::rd (dequant-materialise)
+                        if isinstance(buf, QuantizedArray):
+                            qs = jax.lax.dynamic_index_in_dim(
+                                buf.q, li, 0, keepdims=False)
+                            ss = jax.lax.dynamic_index_in_dim(
+                                buf.scale, li, 0, keepdims=False)
+                            deq = qs.astype(q.dtype) * ss.astype(
+                                q.dtype)[..., None]
+                            return jax.lax.optimization_barrier(
+                                deq).transpose(0, 2, 1, 3)
+                        return jax.lax.dynamic_index_in_dim(
+                            buf, li, 0, keepdims=False)
+
+                    kf, vf = rd(ck), rd(cv)
+                    kbf = vbf = None
+                    if cfg.use_bridge:
+                        kbf, vbf = rd(ckb), rd(cvb)
+                    dec_out = bridged_attention(
+                        AttentionInputs(q_dec, kf, vf, kbf, vbf),
+                        flag_dec[:, None], kv_flag, bias_dec[:, None])
+
+                # ---- chunk segment: Nq=C against its own cache row ----
+                def rdrow(buf):
+                    if buf is None:
+                        return None
+                    if isinstance(buf, QuantizedArray):
+                        qs = jax.lax.dynamic_index_in_dim(
+                            buf.q, li, 0, keepdims=False)
+                        qs = jax.lax.dynamic_index_in_dim(
+                            qs, pf_slot, 0, keepdims=True)   # (1, H, S, d)
+                        ss = jax.lax.dynamic_index_in_dim(
+                            buf.scale, li, 0, keepdims=False)
+                        ss = jax.lax.dynamic_index_in_dim(
+                            ss, pf_slot, 0, keepdims=True)
+                        deq = qs.astype(q.dtype) * ss.astype(
+                            q.dtype)[..., None]
+                        return jax.lax.optimization_barrier(
+                            deq).transpose(0, 2, 1, 3)       # (1, S, H, d)
+                    x = jax.lax.dynamic_index_in_dim(buf, li, 0,
+                                                     keepdims=False)
+                    return jax.lax.dynamic_index_in_dim(x, pf_slot, 0,
+                                                        keepdims=True)
+
+                kvf_row = jax.lax.dynamic_index_in_dim(kv_flag, pf_slot, 0,
+                                                       keepdims=True)
+                ch_out = bridged_attention(
+                    AttentionInputs(q_ch, rdrow(ck), rdrow(cv),
+                                    rdrow(ckb), rdrow(cvb)),
+                    flag_ch, kvf_row, bias_ch)
+
+                attn = jnp.concatenate([dec_out[:, 0][None], ch_out],
+                                       axis=1).reshape(1, T, D)
+                vo = a["vision_o"]
+                attn = routed_linear(attn, flag, a["o_proj"], vo["wa"],
+                                     vo["wb"], am)
+                h = h + attn
+                hn2 = rnorm(h, "post_attention_layernorm")
+                h = h + M._mlp(p, cfg, hn2, flag)
+                return h, new_bufs
 
             def step(params, pids, pvi, ppm, ppos, psig, pf_len, pf_budget,
                      carry):
                 (cache, mask_buf, last_logits, vi_last, pos_last, active,
-                 budget, pf, pf_off, rng) = carry
-                B = mask_buf.shape[0]
-                # re-anchor prefilling rows at pf_off: classic decode
-                # dispatches issued while an install was paused advance
-                # EVERY row's cache index (forward's unconditional +N),
-                # and a paused row's junk single-token writes land in
-                # [pf_off, ...) -- all overwritten by its later chunks
-                P = jnp.where(pf, pf_off, cache.index)            # (B,)
-                cache = cache._replace(index=P)
+                 budget, pf, pf_off_v, pf_slot_c, park_off, rng) = carry
+                S = mask_buf.shape[1]
+                has_pf = jnp.any(pf)
+                pf_slot = jnp.where(has_pf, jnp.argmax(pf), pf_slot_c)
+                off = jnp.take(pf_off_v, pf_slot)
+                plen = jnp.take(pf_len, pf_slot)
+                # park on the just-finished row at its prompt end: junk
+                # K/V there is overwritten by that row's own decode write
+                # at each position before its mask bit turns 1
+                off_w = jnp.where(has_pf, off, park_off)
+
+                # re-anchor prefilling rows at pf_off: classic dispatches
+                # advance EVERY row's index (forward's unconditional +N)
+                P_dec = jnp.where(pf, pf_off_v, cache.index)      # (B,)
+
                 rng, step_rng = jax.random.split(rng)
                 tok = sample_tokens(last_logits, gen, step_rng)   # (Q, B)
                 tok = jnp.where(active[None], tok, gen.pad_token_id)
@@ -694,79 +873,123 @@ class ServingEngine:
                                    vi_last)
                 pos_dec = jnp.where(active, pos_last + 1, pos_last)
 
-                def sl(buf, off):          # (B, Np, ...) -> (B, C, ...)
-                    def row(r, o):
-                        return jax.lax.dynamic_slice(
-                            r, (o,) + (0,) * (r.ndim - 1),
-                            (C,) + r.shape[1:])
-                    return jax.vmap(row)(buf, off)
+                ch_ids = jax.lax.dynamic_slice(
+                    pids, (0, pf_slot, off_w), (Q, 1, C))[:, 0]   # (Q, C)
+                ch_vi = jax.lax.dynamic_slice(
+                    pvi, (pf_slot, off_w), (1, C))[0]
+                ch_pm = jax.lax.dynamic_slice(
+                    ppm, (pf_slot, off_w), (1, C))[0]
+                ch_pos = jax.lax.dynamic_slice(
+                    ppos, (pf_slot, off_w), (1, C))[0]
+                ch_sig = jax.lax.dynamic_slice(
+                    psig, (pf_slot, off_w, 0),
+                    (1, C, psig.shape[-1]))[0]
 
-                ch_vi = sl(pvi, pf_off)
-                ch_pm = sl(ppm, pf_off)
-                ch_pos = sl(ppos, pf_off)
-                ch_sig = sl(psig, pf_off)
-                ch_ids = jax.vmap(
-                    lambda r, o: jax.lax.dynamic_slice(r, (0, o), (Q, C)),
-                    in_axes=(1, 0), out_axes=1)(pids, pf_off)
+                ids_p = jnp.concatenate(
+                    [tok.astype(ch_ids.dtype), ch_ids], axis=1)[:, None]
+                vi_p = jnp.concatenate([vi_dec, ch_vi])[None]     # (1, T)
+                pos_p = jnp.concatenate([pos_dec, ch_pos])[None]
+                sig_p = jnp.concatenate(
+                    [jnp.zeros((B, psig.shape[-1]), psig.dtype),
+                     ch_sig])[None]
+                flag_p = vi_p < Mv
 
-                dec_ids = jnp.concatenate(
-                    [tok[:, :, None].astype(ch_ids.dtype),
-                     jnp.full((Q, B, C - 1), gen.pad_token_id,
-                              ch_ids.dtype)], axis=2)
-                dec_vi = jnp.concatenate(
-                    [vi_dec[:, None],
-                     jnp.full((B, C - 1), Mv, vi_dec.dtype)], axis=1)
-                dec_pm = jnp.concatenate(
-                    [active[:, None].astype(ch_pm.dtype),
-                     jnp.zeros((B, C - 1), ch_pm.dtype)], axis=1)
-                ids_w = jnp.where(pf[None, :, None], ch_ids, dec_ids)
-                vi_w = jnp.where(pf[:, None], ch_vi, dec_vi)
-                pm_w = jnp.where(pf[:, None], ch_pm, dec_pm)
-                pos_w = jnp.where(pf[:, None], ch_pos,
-                                  jnp.broadcast_to(pos_dec[:, None], (B, C)))
-                sig_w = jnp.where(pf[:, None, None], ch_sig, 0.0)
-                cnt = jnp.where(pf, C, active.astype(jnp.int32))
+                # mask/flag writes: decode columns exactly as the classic
+                # chunk; the prompt window value-masked (no-op when parked)
+                mask_buf = M._write_seq(
+                    mask_buf, active[:, None].astype(mask_buf.dtype), P_dec)
+                old_m = jax.lax.dynamic_slice(mask_buf, (pf_slot, off_w),
+                                              (1, C))
+                mask_buf = jax.lax.dynamic_update_slice(
+                    mask_buf, jnp.where(has_pf, ch_pm[None], old_m),
+                    (pf_slot, off_w))
+                kvf = M._write_seq(cache.flag, (vi_dec < Mv)[:, None],
+                                   P_dec)
+                old_f = jax.lax.dynamic_slice(kvf, (pf_slot, off_w), (1, C))
+                kvf = jax.lax.dynamic_update_slice(
+                    kvf, jnp.where(has_pf, (ch_vi < Mv)[None], old_f),
+                    (pf_slot, off_w))
 
-                mask_buf = jax.vmap(_update_window,
-                                    in_axes=(0, 0, 0, None))(
-                    mask_buf, pm_w, P, jnp.ones((C,), bool))
-                out = M.forward(params, cfg, ids_w, mask_buf, vi_w, sig_w,
-                                position_ids=pos_w, cache=cache,
-                                attn_impl=self._attn_impl)
-                cache = out.cache._replace(index=P + cnt)
+                idxS = jnp.arange(S)
+                mrows = mask_buf.astype(bool)
+                bias_dec = jnp.where(
+                    (idxS[None] <= P_dec[:, None]) & mrows,
+                    0.0, BIG_NEG).astype(jnp.float32)[:, None]    # (B,1,S)
+                m_pf = jax.lax.dynamic_index_in_dim(mrows, pf_slot, 0,
+                                                    keepdims=False)
+                qs_ch = off_w + jnp.arange(C)
+                bias_ch = jnp.where(
+                    (idxS[None] <= qs_ch[:, None]) & m_pf[None],
+                    0.0, BIG_NEG).astype(jnp.float32)[None, None]  # (1,1,C,S)
 
-                sel = jnp.maximum(cnt - 1, 0)[:, None, None]
-                h_sel = jnp.take_along_axis(out.hidden_states, sel, axis=1)
-                vi_sel = jnp.where(pf, ch_vi[:, -1], vi_dec)
-                pos_sel = jnp.where(pf, ch_pos[:, -1], pos_dec)
-                logits = _last_position_logits(params, cfg, h_sel,
-                                               vi_sel < Mv, vi_sel)
-                upd = cnt > 0
-                last_logits = jnp.where(upd[None, :, None],
-                                        logits.astype(last_logits.dtype),
-                                        last_logits)
-                vi_last = jnp.where(upd, vi_sel, vi_last)
-                pos_last = jnp.where(upd, pos_sel, pos_last)
+                h = M.embed_inputs(params, cfg, ids_p, flag_p, sig_p, vi_p)
+                cos, sin = rope_cos_sin(
+                    max(cfg.max_position_embeddings, S), cfg.head_dim,
+                    cfg.rope_theta)
+
+                bufs0 = {"k": cache.k, "v": cache.v}
+                if cfg.use_bridge:
+                    bufs0.update({"kb": cache.kb, "vb": cache.vb})
+
+                def body(carry_l, li):
+                    h_, bufs = carry_l
+                    h_, bufs2 = packed_layer(
+                        take_layer(params["layers"], li), bufs, li, h_,
+                        flag_p, cos, sin, pos_p, P_dec, pf_slot, off_w,
+                        has_pf, kvf, bias_dec, bias_ch)
+                    return (h_, dict(bufs, **bufs2)), None
+
+                (h, bufs), _ = jax.lax.scan(
+                    body, (h, bufs0), jnp.arange(cfg.num_hidden_layers))
+                h = select_by_flag(flag_p,
+                                   rms_norm(h, params["vision_norm"], eps),
+                                   rms_norm(h, params["norm"], eps))
+
+                logits_dec = _last_position_logits(
+                    params, cfg, h[0, :B][:, None], vi_dec < Mv, vi_dec)
+                vi_ch_last = ch_vi[-1][None]
+                logits_ch = _last_position_logits(
+                    params, cfg, h[0, T - 1][None, None],
+                    vi_ch_last < Mv, vi_ch_last)
+
+                pf_done = has_pf & (off + C >= plen)
+                rowsel = (jnp.arange(B) == pf_slot) & has_pf
+                new_last = jnp.where(active[None, :, None],
+                                     logits_dec.astype(last_logits.dtype),
+                                     last_logits)
+                new_last = jnp.where(rowsel[None, :, None],
+                                     logits_ch.astype(last_logits.dtype),
+                                     new_last)
+                vi_last = jnp.where(active, vi_dec, vi_last)
+                vi_last = jnp.where(rowsel, ch_vi[-1], vi_last)
+                pos_last = jnp.where(active, pos_dec, pos_last)
+                pos_last = jnp.where(rowsel, ch_pos[-1], pos_last)
+
+                index = jnp.where(rowsel, off + C,
+                                  P_dec + active.astype(P_dec.dtype))
+                cache = M.KVCache(k=bufs["k"], v=bufs["v"],
+                                  kb=bufs.get("kb"), vb=bufs.get("vb"),
+                                  flag=kvf, index=index)
 
                 budget = budget - active.astype(budget.dtype)
                 active_next = active & ~eos_hit & (budget > 0)
-                pf_done = pf & (pf_off + C >= pf_len)
-                pf_off = jnp.where(pf, pf_off + C, pf_off)
-                budget = jnp.where(pf_done, pf_budget, budget)
-                active_next = active_next | pf_done
-                pf = pf & ~pf_done
-                carry = (cache, mask_buf, last_logits, vi_last, pos_last,
-                         active_next, budget, pf, pf_off, rng)
+                pf_off_v = jnp.where(rowsel, off + C, pf_off_v)
+                budget = jnp.where(rowsel & pf_done, pf_budget, budget)
+                active_next = active_next | (rowsel & pf_done)
+                pf = pf & ~(rowsel & pf_done)
+                park_off = jnp.where(pf_done, off + C, park_off)
+                carry = (cache, mask_buf, new_last, vi_last, pos_last,
+                         active_next, budget, pf, pf_off_v, pf_slot,
+                         park_off, rng)
                 return carry, (tok, active)
-
-            import functools
 
             def f(params, cache, mask_buf, last_logits, vi_last, pos_last,
                   pids, pvi, ppm, ppos, psig,
                   active, budget, pf_active, pf_off, pf_len, pf_budget,
                   rng):
                 carry = (cache, mask_buf, last_logits, vi_last, pos_last,
-                         active, budget, pf_active, pf_off, rng)
+                         active, budget, pf_active, pf_off,
+                         jnp.argmax(pf_active), jnp.int32(0), rng)
                 body = functools.partial(step, params, pids, pvi, ppm,
                                          ppos, psig, pf_len, pf_budget)
                 carry, (toks, acts) = jax.lax.scan(
@@ -873,30 +1096,16 @@ class ServingEngine:
         pf_off = np.zeros((B,), np.int32)
         pf_len = np.zeros((B,), np.int32)
         pf_budget = np.zeros((B,), np.int32)
-        slot_plen = np.zeros((B,), np.int32)  # bucketed prompt length
 
         def merged_eligible(req) -> bool:
+            # Nb <= Np already implies the parking-window margin
+            # Nb + C <= S (Np = (S - C) // C * C); decode-token cache
+            # writes in the packed step are width-1, so coexisting
+            # classic-path requests need no extra headroom.
             if not mg or req.pixels is not None:
                 return False
             Nb = bucketed(req.input_ids.shape[-1])
-            return (Nb % C == 0 and Nb <= Np
-                    and Nb + req.max_new_tokens + C - 1 <= S)
-
-        def merged_safe() -> bool:
-            """A merged dispatch writes C-wide windows at every row's
-            index: only issue one when each ACTIVE row keeps its window
-            in-bounds for the whole chunk (else the dynamic_update_slice
-            clamp would stomp valid cache slots). Unsafe rows run classic
-            decode chunks instead and in-flight installs simply pause."""
-            for s in range(B):
-                if not active[s]:
-                    continue
-                p_now = slot_plen[s] + len(slot_toks[s])
-                p_max = min(p_now + self.decode_chunk - 1,
-                            slot_plen[s] + slot_req[s].max_new_tokens - 1)
-                if p_max + C > S:
-                    return False
-            return True
+            return Nb % C == 0 and Nb <= Np
 
         def bucketed(n):
             b = self.prompt_bucket
@@ -999,7 +1208,6 @@ class ServingEngine:
                     pf_off[slot] = 0
                     pf_len[slot] = Nb
                     pf_budget[slot] = req.max_new_tokens
-                    slot_plen[slot] = Nb
                     active[slot] = False
                     budget[slot] = 0
                     slot_req[slot] = req
@@ -1046,7 +1254,6 @@ class ServingEngine:
                     slot_req[slot] = group[i]
                     slot_toks[slot] = []
                     slot_ttft[slot] = None
-                    slot_plen[slot] = Nb
                 dispatches += 1
                 self.stats["dedicated_prefills"] += 1
 
@@ -1077,7 +1284,7 @@ class ServingEngine:
                 prestage()
                 try_fill()
                 continue
-            if pf_active.any() and merged_safe():
+            if pf_active.any():
                 rng, step_rng = jax.random.split(rng)
                 with self._qk_ctx():
                     (toks, acts, cache, mask_buf, logits, vi_last,
@@ -1095,11 +1302,14 @@ class ServingEngine:
                 t_now = time.perf_counter()
                 # replay the on-device transitions: emissions from the
                 # returned (tokens, actives); pf completion/off/budget are
-                # deterministic in (pf_len, C, iteration)
+                # deterministic in (pf_len, C, iteration). Exactly ONE
+                # prefilling slot advances per iteration (FIFO by slot
+                # index), mirroring the packed step's argmax(pf) pick.
                 for k in range(acts_np.shape[0]):
-                    was_pf = pf_active.copy()
+                    pf_idx = np.nonzero(pf_active)[0]
+                    first_pf = int(pf_idx[0]) if len(pf_idx) else -1
                     for slot in range(B):
-                        if was_pf[slot]:
+                        if slot == first_pf:
                             pf_rem[slot] -= 1
                             pf_off[slot] += C
                             if pf_rem[slot] <= 0:
@@ -1107,6 +1317,8 @@ class ServingEngine:
                                 active[slot] = True
                                 budget[slot] = pf_budget[slot]
                             continue
+                        if pf_active[slot]:
+                            continue      # queued install: waits its turn
                         if not acts_np[k, slot] or not active[slot]:
                             continue
                         req = slot_req[slot]
