@@ -617,3 +617,57 @@ def test_engine_prefill_group_cap(tiny):
     results = eng.run([r for r, _ in pairs])
     assert all(k[2] <= 2 for k in eng._prefill_fns)
     _check_parity(results, pairs, params, cfg)
+
+
+def test_engine_merged_mixed_with_pixels_fallback(tiny):
+    """Raw-pixels requests (dedicated-prefill only) coexist with
+    merged-installed text requests in the same pool, with exact parity
+    for both."""
+    from libra_tpu.config import VQGANConfig
+    from libra_tpu.models import vqgan as vqgan_model
+
+    cfg, params = tiny
+    vq_cfg = VQGANConfig.tiny()
+    vq_params = vqgan_model.init_params(jax.random.PRNGKey(1), vq_cfg)
+    Mv = cfg.max_vision_token_length
+    gen = GenerationConfig(eos_token_id=-1)
+
+    pairs = _requests(cfg, 5)
+    reqs = [r for r, _ in pairs]
+    # request 2 becomes a raw-pixels request with the same prompt shape:
+    # placeholder ids at the image block, pixels carried
+    img = np.random.RandomState(3).randn(28, 28, 3).astype(np.float32)
+    base = reqs[2]
+    vi = np.asarray(base.vision_indices)
+    pos = int(np.nonzero(vi == 0)[0][0])
+    reqs[2] = Request(request_id=2, input_ids=np.asarray(base.input_ids),
+                      vision_indices=vi, max_new_tokens=base.max_new_tokens,
+                      pixels=img, img_start=pos)
+
+    eng = ServingEngine(params, cfg, max_batch=2, max_len=64, gen=gen,
+                        prompt_bucket=8, merged_prefill=True, merged_chunk=8,
+                        vq_params=vq_params, vq_cfg=vq_cfg)
+    results = eng.run(reqs)
+    assert eng.stats["merged_installs"] > 0, eng.stats
+    assert eng.stats["dedicated_prefills"] > 1, eng.stats  # pixels refill
+    # text requests: exact parity with the Generator
+    g = Generator(params, cfg)
+    for i in (0, 1, 3, 4):
+        res = results[i]
+        req, inputs = pairs[i]
+        want = g(inputs, GenerationConfig(
+            max_new_tokens=req.max_new_tokens, eos_token_id=-1))
+        N = req.input_ids.shape[-1]
+        np.testing.assert_array_equal(
+            res.tokens, np.asarray(want.sequences)[:, 0, N:])
+    # pixels request: parity with a fused-vision Generator run
+    gv = Generator(params, cfg, vq_params=vq_params, vq_cfg=vq_cfg)
+    want = gv({"input_ids": np.asarray(base.input_ids)[:, None],
+               "attention_mask": np.ones((1, vi.shape[-1]), np.int32),
+               "vision_indices": vi[None], "pixels": img[None],
+               "img_start": np.asarray([pos], np.int32)},
+              GenerationConfig(max_new_tokens=base.max_new_tokens,
+                               eos_token_id=-1))
+    N = base.input_ids.shape[-1]
+    np.testing.assert_array_equal(
+        results[2].tokens, np.asarray(want.sequences)[:, 0, N:])

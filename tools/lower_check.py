@@ -130,6 +130,8 @@ def cases():
 
     # weight-streaming matvecs (qlinear dispatch shapes)
     add("int8_matvec_stacked", _int8_matmul_case)
+    # token-packed merged-prefill activation rows (M = B + C up to 128)
+    add("int8_matmul_packed_m128", _int8_matmul_case, 128)
     add("int4_matvec", _int4_matmul_case)
     return out
 
