@@ -355,10 +355,26 @@ def _generate_impl(params, input_ids, attention_mask, vision_indices,
             tokens, next_tok[:, :, None].astype(tokens.dtype), (0, 0, slot))
         mask_buf = jax.lax.dynamic_update_slice(
             mask_buf, jnp.ones((B, 1), mask_buf.dtype), (0, slot))
-        logits, cache, vi_new, new_pos, new_hist = decode_micro_step(
-            params, cfg, next_tok, mask_buf, cache, vi_last, last_pos,
-            hist=hist, is_2d=is_2d, lang_only=lang_only)
-        return (t + 1, tokens, mask_buf, cache, logits, vi_new,
+
+        # the forward computes the NEXT iteration's logits -- skip it when
+        # this token was the last one needed (t+1 == max_new or every row
+        # finished). lax.cond executes only the taken branch, so the final
+        # iteration of every generation saves a full weight-streaming
+        # decode step; at max_new=1 (the TTFT probe) the whole body is
+        # sample-only (measured r4: vqa_full32 TTFT 306 -> ~291 ms).
+        need_more = ((t + 1) < gen.max_new_tokens) & ~jnp.all(finished)
+
+        def fwd(mask_buf, cache, vi_last, last_pos, hist):
+            return decode_micro_step(
+                params, cfg, next_tok, mask_buf, cache, vi_last, last_pos,
+                hist=hist, is_2d=is_2d, lang_only=lang_only)
+
+        def keep(mask_buf, cache, vi_last, last_pos, hist):
+            return logits, cache, vi_last, last_pos, hist
+
+        logits2, cache, vi_new, new_pos, new_hist = jax.lax.cond(
+            need_more, fwd, keep, mask_buf, cache, vi_last, last_pos, hist)
+        return (t + 1, tokens, mask_buf, cache, logits2, vi_new,
                 new_pos, rng, finished, num_gen, new_hist)
 
     init = (jnp.int32(0), tokens, mask_buf, st.cache, logits, vi_last,

@@ -144,11 +144,12 @@ def supports(x, q, scale) -> bool:
     """Shape/layout gate for the kernel: 2D (or stacked 3D) weight,
     per-out-channel scale, MXU-aligned dims, and a small-M left operand
     (decode steps, spec-decode verify blocks, and the serving engine's
-    token-packed merged-prefill forwards at M = B + C <= 128; the x block
-    at Mp=128, K=11008 is 2.8 MB VMEM beside the double-buffered weight
-    tiles). Larger M (prompt passes, training) is compute-bound and stays
-    on XLA. (Unaligned K/F stay on the XLA dequant einsum -- see the
-    alignment note in int8_matmul.)"""
+    token-packed merged-prefill forwards at M = B + C <= 160 -- covers
+    C=128 chunks at B<=32; the x block at Mp=160, K=11008 is 3.5 MB VMEM
+    beside the double-buffered 4 MB weight tiles). Larger M (prompt
+    passes, training) is compute-bound and stays on XLA. (Unaligned K/F
+    stay on the XLA dequant einsum -- see the alignment note in
+    int8_matmul.)"""
     if q.ndim not in (2, 3) or scale.shape[-2:] != (1, q.shape[-1]):
         return False
     K, F = q.shape[-2], q.shape[-1]
@@ -156,4 +157,4 @@ def supports(x, q, scale) -> bool:
         return False
     import numpy as np
     M = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
-    return M <= 128
+    return M <= 160

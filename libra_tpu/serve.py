@@ -80,7 +80,7 @@ class ServeApp:
                  decode_chunk: int = 8, max_new_default: int = 256,
                  kv_quant: bool = False, spec_decode: int = 0,
                  decode_modality: str = "auto", a8_prefill: bool = False,
-                 batch_window_s: float = 0.01):
+                 batch_window_s: float = 0.01, warmup_prompt_len: int = 0):
         text_tok = pipe.tokenizer.text_tokenizer
         img_tok = pipe.tokenizer.image_tokenizer
         self.pipe = pipe
@@ -96,6 +96,19 @@ class ServeApp:
             vq_params=img_tok.params, vq_cfg=img_tok.cfg)
         self.max_new_default = max_new_default
         self.batch_window_s = batch_window_s
+        if warmup_prompt_len > 0:
+            # compile every engine program for this text-prompt length
+            # class BEFORE the scheduler thread starts taking traffic: an
+            # unwarmed dedicated-prefill shape compiles ~18 s (full-32,
+            # remote compiler) head-of-line on the first request to hit it
+            Mv = pipe.cfg.max_vision_token_length
+            Q = pipe.cfg.vision_codebook_num
+            n = max(1, warmup_prompt_len)
+            self.engine.warmup(Request(
+                request_id=-1,
+                input_ids=np.full((Q, n), int(text_tok.bos_token_id or 1),
+                                  np.int64),
+                vision_indices=np.full((n,), Mv, np.int64)))
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._next_id = 0
         self._id_lock = threading.Lock()
@@ -318,6 +331,11 @@ def main(argv=None):
                     help="n-gram speculative decode gamma (text streams)")
     ap.add_argument("--decode-modality", default="auto",
                     choices=["auto", "text", "dual"])
+    ap.add_argument("--warmup-prompt-len", type=int, default=0,
+                    help="compile all engine programs for this text-prompt "
+                         "length class before serving (0 = off; avoids "
+                         "multi-second head-of-line compiles on first "
+                         "requests)")
     args = ap.parse_args(argv)
 
     pipe = LibraPipeline.from_pretrained(args.ckpt, quantize=args.quantize)
@@ -327,7 +345,8 @@ def main(argv=None):
                    max_new_default=args.max_new_default,
                    kv_quant=args.kv_quant, spec_decode=args.spec_decode,
                    decode_modality=args.decode_modality,
-                   a8_prefill=args.a8_prefill)
+                   a8_prefill=args.a8_prefill,
+                   warmup_prompt_len=args.warmup_prompt_len)
     srv = make_server(app, args.host, args.port)
     print(f"libra_tpu serving on http://{args.host}:{args.port} "
           f"(max_batch={args.max_batch}, int8={args.quantize}, "

@@ -289,6 +289,20 @@ class ServingEngine:
         # while leaving >= 1 decode slot inside its own C-1 margin.
         self._C = int(merged_chunk)
         self._Np = max(0, (self.S - self._C) // self._C * self._C)
+        # merged dispatch length: when every merged-eligible prompt is
+        # exactly one bucket (bucket % C == 0), an install takes exactly
+        # bucket/C iterations and installs only start at dispatch
+        # boundaries -- sizing the merged scan to bucket/C makes installs
+        # complete precisely at dispatch end, eliminating "park"
+        # iterations (each costs ~2x a plain decode iteration: the packed
+        # body streams the dual-path weights; measured r4 33 vs 17
+        # ms/iter at full-32). Longer prompts (multi-bucket) simply take
+        # several merged dispatches.
+        if self.prompt_bucket > 1 and self.prompt_bucket % self._C == 0:
+            self._Km = max(1, min(self.decode_chunk,
+                                  self.prompt_bucket // self._C))
+        else:
+            self._Km = self.decode_chunk
         supported = (self._gamma == 0 and not self._is_2d
                      and not cfg.use_2d_rope and self._Np >= self._C)
         if merged_prefill is None:
@@ -699,7 +713,7 @@ class ServingEngine:
             from libra_tpu.quantization import (LayerView, QuantizedArray)
 
             cfg, gen = self.cfg, self.gen
-            B, C, K = self.B, self._C, self.decode_chunk
+            B, C, K = self.B, self._C, self._Km
             T = B + C
             Mv = cfg.max_vision_token_length
             Q = cfg.vision_codebook_num
@@ -1004,6 +1018,50 @@ class ServingEngine:
             self._merged_fn = jax.jit(f, donate_argnums=(1, 2, 3, 4, 5))
         return self._merged_fn
 
+    def warmup(self, example: Request, max_new: Optional[int] = None):
+        """Compile EVERY program the scheduler can dispatch, up front.
+
+        Mid-run compiles are the single worst serving-latency event: a
+        full-32 dedicated-prefill program takes ~18 s through the remote
+        compiler, and the first open-loop request to reach an idle pool
+        pays it head-of-line (measured r4: it alone pushed the Poisson
+        p50 TTFT from ~2 s to ~19 s because the whole arrival backlog
+        queued behind the compile). This runs `example`-shaped synthetic
+        requests through run() in patterns that exercise each program:
+
+          * a 2B-1 staggered burst: the k=B grouped dedicated prefill,
+            the merged install + merged chunk programs (slots free one at
+            a time while others decode), and the plain decode chunk (and
+            the spec draft+verify chunk when gamma > 0);
+          * one g-request idle-pool run per SMALLER dedicated group size
+            g: open-loop refills land on an idle pool as k=1 (or k=2)
+            dedicated prefills, shapes the burst never hits.
+
+        `example` fixes the (prompt bucket, pixels?) program shape --
+        call once per shape class the deployment serves. Results are
+        discarded; the engine's slot state fully resets per run().
+        """
+        import copy
+
+        B = self.B
+        mn = max_new if max_new is not None else 4 * B
+
+        def mk(n, stagger=False):
+            reqs = []
+            for i in range(n):
+                r = copy.copy(example)
+                r.request_id = -1 - i
+                r.arrival_s = None
+                r.max_new_tokens = mn - (mn // B) * (i % B) if stagger \
+                    else mn
+                reqs.append(r)
+            return reqs
+
+        self.run(mk(2 * B - 1, stagger=True))
+        for g in self._group_sizes:
+            if g != B:
+                self.run(mk(g))
+
     # -- host-side scheduler -------------------------------------------------
 
     def run(self, requests: List[Request],
@@ -1053,6 +1111,17 @@ class ServingEngine:
         # submission order, so the no-arrivals path is byte-identical
         queue = sorted(requests, key=lambda r: r.arrival_s or 0.0)
         results: List[Result] = []
+        # per-run breakdown (host wall per branch + occupancy): dispatches
+        # are async, so device time lands on the branch that READS BACK --
+        # with LIBRA_SERVE_PROFILE=1 prefill/install branches force a tiny
+        # sync readback so their device time is attributed to them.
+        import os as _os
+        prof_sync = bool(int(_os.environ.get("LIBRA_SERVE_PROFILE", "0")))
+        rs = self.last_run_stats = {
+            "t_decode": 0.0, "t_merged": 0.0, "t_spec": 0.0,
+            "t_prefill": 0.0, "t_install": 0.0, "t_sleep": 0.0,
+            "n_decode": 0, "n_merged": 0, "n_spec": 0, "n_prefill": 0,
+            "n_install": 0, "tokens": 0, "active_iters": 0, "iters": 0}
         t0 = time.perf_counter()
 
         def n_arrived():
@@ -1198,11 +1267,16 @@ class ServingEngine:
                     slot = free.pop(0)
                     Nb = bucketed(req.input_ids.shape[-1])
                     d = staged.pop(req.request_id, None) or stage(req)
+                    t_br = time.perf_counter()
                     with self._qk_ctx():
                         (cache, mask_buf, pids, pvi, ppm, ppos,
                          psig) = self._install(Nb)(
                             cache, mask_buf, pids, pvi, ppm, ppos, psig,
                             d, jnp.int32(slot))
+                    if prof_sync:
+                        np.asarray(mask_buf[0, 0])
+                    rs["t_install"] += time.perf_counter() - t_br
+                    rs["n_install"] += 1
                     pf_active[slot] = True
                     pf_rem[slot] = Nb // C
                     pf_off[slot] = 0
@@ -1242,12 +1316,17 @@ class ServingEngine:
                 reqs = tuple(staged.pop(r.request_id, None) or stage(r)
                              for r in group)
                 extra = (self.vq_params,) if has_px else ()
+                t_br = time.perf_counter()
                 with self._qk_ctx():
                     (cache, mask_buf, logits, vi_last, pos_last, hist,
                      hist_ids) = self._prefill(Nb, has_px, k)(
                             self.params, cache, mask_buf, logits, vi_last,
                             pos_last, hist, hist_ids, reqs,
                             jnp.asarray(slots, jnp.int32), *extra)
+                if prof_sync:
+                    np.asarray(mask_buf[0, 0])
+                rs["t_prefill"] += time.perf_counter() - t_br
+                rs["n_prefill"] += 1
                 for i, slot in enumerate(slots):
                     active[slot] = True
                     budget[slot] = group[i].max_new_tokens
@@ -1280,12 +1359,14 @@ class ServingEngine:
                 nxt = queue[0].arrival_s or 0.0
                 wait = t0 + nxt - time.perf_counter()
                 if wait > 0:
+                    rs["t_sleep"] += wait
                     time.sleep(wait)
                 prestage()
                 try_fill()
                 continue
             if pf_active.any():
                 rng, step_rng = jax.random.split(rng)
+                t_br = time.perf_counter()
                 with self._qk_ctx():
                     (toks, acts, cache, mask_buf, logits, vi_last,
                      pos_last) = self._merged()(
@@ -1300,6 +1381,10 @@ class ServingEngine:
                 toks_np = np.asarray(toks)              # (K, Q, B)
                 acts_np = np.asarray(acts)              # (K, B)
                 t_now = time.perf_counter()
+                rs["t_merged"] += t_now - t_br
+                rs["n_merged"] += 1
+                rs["iters"] += acts_np.shape[0]
+                rs["active_iters"] += int(acts_np.sum())
                 # replay the on-device transitions: emissions from the
                 # returned (tokens, actives); pf completion/off/budget are
                 # deterministic in (pf_len, C, iteration). Exactly ONE
@@ -1340,6 +1425,7 @@ class ServingEngine:
                          else None)
                 continue
             if self._gamma:
+                t_br = time.perf_counter()
                 with self._qk_ctx():
                     (toks, cnts, cache, mask_buf, hist_ids, logits,
                      pos_last) = self._spec_decode()(
@@ -1349,6 +1435,10 @@ class ServingEngine:
                 toks_np = np.asarray(toks)              # (K, B, gamma+1)
                 cnts_np = np.asarray(cnts)              # (K, B)
                 t_now = time.perf_counter()
+                rs["t_spec"] += t_now - t_br
+                rs["n_spec"] += 1
+                rs["iters"] += cnts_np.shape[0]
+                rs["active_iters"] += int((cnts_np > 0).sum())
                 for slot in range(B):
                     if not active[slot]:
                         continue
@@ -1380,6 +1470,7 @@ class ServingEngine:
                 try_fill(limit=1 if active.any() else None)
                 continue
             rng, step_rng = jax.random.split(rng)
+            t_br = time.perf_counter()
             with self._qk_ctx():
                 (toks, acts, cache, mask_buf, logits, vi_last, pos_last,
                  hist) = self._decode(lang_only)(
@@ -1393,6 +1484,10 @@ class ServingEngine:
             toks_np = np.asarray(toks)                  # (K, Q, B)
             acts_np = np.asarray(acts)                  # (K, B)
             t_now = time.perf_counter()
+            rs["t_decode"] += t_now - t_br
+            rs["n_decode"] += 1
+            rs["iters"] += acts_np.shape[0]
+            rs["active_iters"] += int(acts_np.sum())
             for slot in range(B):
                 if not active[slot]:
                     continue

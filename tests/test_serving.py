@@ -521,6 +521,27 @@ def test_engine_merged_prefill_matches_generator(tiny):
     _check_parity(results, pairs, params, cfg)
 
 
+def test_engine_warmup_compiles_every_program(tiny):
+    """warmup(example) compiles the decode chunk, the merged
+    install/chunk programs AND every dedicated-prefill group size -- incl.
+    the k<max_batch idle-pool refill shapes only open-loop arrivals hit
+    (an unwarmed k=1 full-32 refill measured an ~18 s compile head-of-line
+    inside the r4 Poisson run). A subsequent run stays exact."""
+    cfg, params = tiny
+    gen = GenerationConfig(eos_token_id=-1)
+    pairs = _requests(cfg, 4)
+    eng = ServingEngine(params, cfg, max_batch=4, max_len=64, gen=gen,
+                        prompt_bucket=8, decode_chunk=3, merged_chunk=8)
+    eng.warmup(pairs[0][0])
+    assert eng.stats["dedicated_prefills"] >= len(eng._group_sizes)
+    assert eng.stats["merged_installs"] > 0, eng.stats
+    # a compiled dedicated-prefill program exists for every group size
+    assert {k[2] for k in eng._prefill_fns} >= set(eng._group_sizes), \
+        (set(eng._prefill_fns), eng._group_sizes)
+    results = eng.run([r for r, _ in pairs])
+    _check_parity(results, pairs, params, cfg)
+
+
 def test_engine_merged_prefill_int8_kv(tiny):
     """Merged installs over the int8 KV cache: the chunk forward writes
     quantized K/V at per-row windows exactly like the wide prefill."""

@@ -130,8 +130,10 @@ def cases():
 
     # weight-streaming matvecs (qlinear dispatch shapes)
     add("int8_matvec_stacked", _int8_matmul_case)
-    # token-packed merged-prefill activation rows (M = B + C up to 128)
-    add("int8_matmul_packed_m128", _int8_matmul_case, 128)
+    # token-packed merged-prefill activation rows: M = B + C (C=128 at
+    # B=4 -> 132, B=8 -> 136; gate is M <= 160)
+    add("int8_matmul_packed_m132", _int8_matmul_case, 132)
+    add("int8_matmul_packed_m160", _int8_matmul_case, 160)
     add("int4_matvec", _int4_matmul_case)
     return out
 
