@@ -631,12 +631,17 @@ def bench_serving(B=4, n_requests=24, max_new=64, decode_chunk=16,
     params = _device_quantized_params(cfg)
     gen = GenerationConfig(eos_token_id=-1, kv_quant=True, a8_prefill=True,
                            decode_modality="text")
-    # merged_chunk=128: a 640-bucket install is 5 packed iterations (the
-    # int8 kernel covers M = B + C <= 160), and _Km sizes the merged
-    # dispatch to exactly those 5 -- no park iterations
+    # merged_chunk=64: a 640-bucket install is 10 packed iterations and
+    # _Km sizes the merged dispatch to exactly those 10 -- no park
+    # iterations. C=128 was A/B-measured SLOWER (per-iteration overhead
+    # over a plain decode step is super-linear in C: ~16 ms extra/iter at
+    # C=64 vs ~65 ms at C=128 -> total install overhead 160 vs 325 ms).
+    # Env override for A/B runs (LIBRA_BENCH_MERGED_CHUNK=128).
+    import os as _os
+    mc = int(_os.environ.get("LIBRA_BENCH_MERGED_CHUNK", "64"))
     eng = ServingEngine(params, cfg, max_batch=B, max_len=768, gen=gen,
                         prompt_bucket=640, decode_chunk=decode_chunk,
-                        merged_chunk=128, max_prefill_group=group_cap)
+                        merged_chunk=mc, max_prefill_group=group_cap)
 
     def make_reqs(n, stagger=False):
         reqs = []

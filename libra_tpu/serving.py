@@ -1259,8 +1259,16 @@ class ServingEngine:
                         and not pf_active[s]]
                 if not na or not free:
                     return
-                # merged installs: pool busy + eligible head-of-queue
-                while (na and free and (active.any() or pf_active.any())
+                # merged installs: pool busy + eligible head-of-queue +
+                # EXACTLY ONE free slot (the staggered-refill case merged
+                # prefill is built for). With >= 2 slots free, a grouped
+                # dedicated prefill batches all of them in ONE ~400 ms
+                # dispatch; serial installs (one slot advances per packed
+                # iteration) cost k * chunks * ~2x-a-decode-iteration and
+                # measured out (r4 A/B: the burst bistably fell into the
+                # serial-install mode at 90-140 tok/s vs ~175 batched)
+                while (na and len(free) == 1
+                       and (active.any() or pf_active.any())
                        and merged_eligible(queue[0])):
                     req = queue.pop(0)
                     na -= 1
