@@ -120,7 +120,30 @@ def bench_vision_encode(B=8):
     n1, n2 = 2, 12
     run(n1), run(n2)                       # compile both trip counts
     per_iter = (run(n2) - run(n1)) / (n2 - n1)
-    return B / per_iter
+    img_s = B / per_iter
+
+    # FLOPs-based speed-of-light (VERDICT r4 item 6): encode is
+    # COMPUTE-bound (the CLIP tower is dense bf16 matmuls over 577
+    # tokens), so the ceiling is matmul FLOPs / the chip's 197 TF bf16
+    # peak. Per image: patch-embed conv + L_run transformer layers
+    # (QKVO 8ND^2, scores+values 4N^2D, MLP 16ND^2) + quant_conv.
+    c = cfg.clip
+    n_tok = c.num_patches + 1
+    sel = min(cfg.select_layers)
+    layers_run = c.num_hidden_layers + sel + 1 if sel < 0 else sel
+    D, I = c.hidden_size, c.intermediate_size
+    per_layer = (8 * n_tok * D * D + 4 * n_tok * n_tok * D
+                 + 4 * n_tok * D * I)
+    patch = 2 * c.num_patches * (3 * c.patch_size ** 2) * D
+    qconv = 2 * c.num_patches * cfg.clip_feature_dim * cfg.embed_dim
+    flops = patch + layers_run * per_layer + qconv
+    sol_img_s = 197e12 / flops
+    return {
+        "vision_encode_img_s_b8": round(img_s, 2),
+        "vision_encode_gflops_per_img": round(flops / 1e9, 1),
+        "vision_encode_sol_img_s": round(sol_img_s, 1),
+        "vision_encode_pct_of_sol": round(100 * img_s / sol_img_s, 1),
+    }
 
 
 def bench_vqa_fused(num_layers=8, B=1, text_len=32):
@@ -403,7 +426,18 @@ def bench_spec_decode(B=4, text_len=32, max_new=128, gamma=3):
     dt_spec = best(run_spec)
     toks = int(np.asarray(res["r"].num_generated).sum())
     iters = max(int(np.asarray(res["r"].iterations)), 1)
+    # REPORTED (not asserted) base-vs-spec token agreement (ADVICE r4
+    # item 3): bf16 argmax ties on random bench weights make exact
+    # equality flaky on TPU, but a genuine verify-vs-base indexing or
+    # numerics divergence on real weights would show here as a LOW match
+    # fraction rather than the tie-noise-dominated one
+    base_toks = np.asarray(base_res.sequences)[0, :, ids.shape[-1]:
+                                               ids.shape[-1] + max_new]
+    spec_toks = np.asarray(res["r"].sequences)[0, :, ids.shape[-1]:
+                                               ids.shape[-1] + max_new]
     out = {
+        "spec_vs_base_token_match": round(
+            float((base_toks == spec_toks).mean()), 3),
         "spec_decode_tok_s": round(toks / dt_spec, 2),
         "spec_decode_base_tok_s": round(max_new * B / dt_base, 2),
         "spec_decode_speedup": round(dt_base / dt_spec, 3),
@@ -613,144 +647,246 @@ def bench_train_step(num_layers=4, B=8, text_len=120):
     return tokens / dt, mfu, mfu_legacy
 
 
-def bench_serving(B=4, n_requests=24, max_new=64, decode_chunk=16,
-                  group_cap=None):
-    """ServingEngine under a mixed-length request stream at full scale
-    (VERDICT r3 item 3): full-32 int8 weights + int8 KV, max_batch 4,
-    prompts 594-618 tokens (one 578-token image + text) in one 640 bucket,
-    chunked decode dispatch. Reports aggregate generated tokens/s and the
-    p50/p95 TTFT across the stream (queue wait included -- the continuous-
-    batching number, BASELINE's north-star shape)."""
-    import jax
+# Fixed open-loop load points (VERDICT r4 item 2): the r4 bench set the
+# Poisson rate at 0.8x its OWN measured burst capacity, so every engine
+# change also changed the offered load and no two rounds were comparable.
+# These absolute rates are now pinned; p50/p95 TTFT at each point is
+# directly comparable across rounds and across merged-prefill on/off.
+FIXED_RPS = (1.5, 2.0, 2.5)
 
+
+def _serving_reqs(cfg, n, max_new, B=4, stagger=False, mark0=None):
+    """The canonical serving workload: mixed 594-618-token single-image
+    prompts (one 640 bucket), text answers. mark0: overwrite each prompt's
+    LAST token with mark0+i -- a per-request marker the oracle spec
+    drafter keys on (the marker is also position bucket-1 after left-pad,
+    so a traced function can recover the request id from the history)."""
+    from libra_tpu.serving import Request
+    from __graft_entry__ import _example_batch
+
+    reqs = []
+    for i in range(n):
+        tl = 16 + (i % 4) * 8             # mixed prompt lengths, one bucket
+        ids, _, vi, sig = _example_batch(cfg, B=1, text_len=tl, seed=i)
+        ids = np.asarray(ids[:, 0]).copy()
+        if mark0 is not None:
+            ids[:, -1] = mark0 + i
+        reqs.append(Request(
+            request_id=i, input_ids=ids,
+            vision_indices=np.asarray(vi[0]),
+            contiguous_signal=np.asarray(sig[0]),
+            max_new_tokens=max_new - 8 * (i % B) if stagger else max_new))
+    return reqs
+
+
+def _pct(xs, p):
+    return xs[min(len(xs) - 1, int(len(xs) * p))]
+
+
+def _poisson_point(eng, reqs, rps, seed=0):
+    """One open-loop run at a FIXED arrival rate; TTFT from arrival."""
+    gaps = np.random.RandomState(seed).exponential(1.0 / rps,
+                                                   size=len(reqs))
+    arrivals = np.cumsum(gaps)
+    for r, a in zip(reqs, arrivals):
+        r.arrival_s = float(a)
+    t0 = time.perf_counter()
+    results = eng.run(reqs)
+    dt = time.perf_counter() - t0
+    total = sum(r.tokens.shape[-1] for r in results)
+    ttfts = sorted(r.ttft_s for r in results if r.ttft_s is not None)
+    return {
+        "tok_s": round(total / dt, 2),
+        "p50_ttft_ms": round(1000 * _pct(ttfts, 0.5), 1),
+        "p95_ttft_ms": round(1000 * _pct(ttfts, 0.95), 1),
+    }
+
+
+def bench_serving(B=4, n_requests=24, max_new=64, decode_chunk=16,
+                  group_cap=None, merged=None, prefix="serving",
+                  rps_points=FIXED_RPS):
+    """ServingEngine under a mixed-length request stream at full scale:
+    full-32 int8 weights + int8 KV, prompts 594-618 tokens (one 578-token
+    image + text) in one 640 bucket, chunked decode dispatch. Reports the
+    burst numbers (all requests queued at t=0: aggregate tokens/s is the
+    capacity number; TTFT there is mostly queue wait by construction) and
+    a FIXED-rps Poisson ladder (honest continuous-serving latency,
+    comparable across rounds and across merged on/off -- `merged` runs
+    the identical ladder with merged chunked prefill forced on/off)."""
     from libra_tpu.generation import GenerationConfig
-    from libra_tpu.serving import Request, ServingEngine
-    from __graft_entry__ import _example_batch, _flagship_cfg
+    from libra_tpu.serving import ServingEngine
+    from __graft_entry__ import _flagship_cfg
 
     cfg = _flagship_cfg(32)
     params = _device_quantized_params(cfg)
     gen = GenerationConfig(eos_token_id=-1, kv_quant=True, a8_prefill=True,
                            decode_modality="text")
-    # merged_chunk=64: a 640-bucket install is 10 packed iterations and
-    # _Km sizes the merged dispatch to exactly those 10 -- no park
-    # iterations. C=128 was A/B-measured SLOWER (per-iteration overhead
-    # over a plain decode step is super-linear in C: ~16 ms extra/iter at
-    # C=64 vs ~65 ms at C=128 -> total install overhead 160 vs 325 ms).
-    # Env override for A/B runs (LIBRA_BENCH_MERGED_CHUNK=128).
+    # merged_chunk=64: a 640-bucket install is 10 packed iterations. C=128
+    # was A/B-measured SLOWER (per-iteration overhead over a plain decode
+    # step is super-linear in C). Env override for A/B runs.
     import os as _os
     mc = int(_os.environ.get("LIBRA_BENCH_MERGED_CHUNK", "64"))
     eng = ServingEngine(params, cfg, max_batch=B, max_len=768, gen=gen,
                         prompt_bucket=640, decode_chunk=decode_chunk,
-                        merged_chunk=mc, max_prefill_group=group_cap)
-
-    def make_reqs(n, stagger=False):
-        reqs = []
-        for i in range(n):
-            tl = 16 + (i % 4) * 8         # mixed prompt lengths, one bucket
-            ids, _, vi, sig = _example_batch(cfg, B=1, text_len=tl, seed=i)
-            reqs.append(Request(
-                request_id=i, input_ids=np.asarray(ids[:, 0]),
-                vision_indices=np.asarray(vi[0]),
-                contiguous_signal=np.asarray(sig[0]),
-                max_new_tokens=max_new - 8 * (i % B) if stagger else max_new))
-        return reqs
+                        merged_chunk=mc, max_prefill_group=group_cap,
+                        merged_prefill=merged)
 
     # engine warmup: compiles the decode chunk, the merged install/chunk
     # programs AND every dedicated-prefill group size (k=B burst + the
     # k=1/k=2 idle-pool refill shapes open-loop arrivals hit -- an
     # unwarmed k=1 compile measured 18 s INSIDE the r4 Poisson run)
-    eng.warmup(make_reqs(1)[0])
-    reqs = make_reqs(n_requests)
+    eng.warmup(_serving_reqs(cfg, 1, max_new, B)[0])
+    reqs = _serving_reqs(cfg, n_requests, max_new, B)
     t0 = time.perf_counter()
     results = eng.run(reqs)
     dt = time.perf_counter() - t0
     total = sum(r.tokens.shape[-1] for r in results)
-
-    def pct(xs, p):
-        return xs[min(len(xs) - 1, int(len(xs) * p))]
-
     ttfts = sorted(r.ttft_s for r in results if r.ttft_s is not None)
     out = {
-        "serving_tok_s": round(total / dt, 2),
-        "serving_p50_ttft_ms": round(1000 * pct(ttfts, 0.5), 1),
-        "serving_p95_ttft_ms": round(1000 * pct(ttfts, 0.95), 1),
-        "serving_requests": len(results),
-        "serving_wall_s": round(dt, 2),
+        f"{prefix}_tok_s": round(total / dt, 2),
+        f"{prefix}_p50_ttft_ms": round(1000 * _pct(ttfts, 0.5), 1),
+        f"{prefix}_p95_ttft_ms": round(1000 * _pct(ttfts, 0.95), 1),
+        f"{prefix}_requests": len(results),
+        f"{prefix}_wall_s": round(dt, 2),
+        f"{prefix}_merged_on": eng._merged_on,
     }
 
-    # open-loop Poisson stream at ~80% of the measured burst capacity:
-    # TTFT here is measured from each request's ARRIVAL, the honest
-    # continuous-serving latency (the burst p50 above is mostly queue
-    # wait by construction: n_requests >> max_batch all at t=0)
-    rps = 0.8 * (total / dt) / max_new
-    gaps = np.random.RandomState(0).exponential(1.0 / rps, size=n_requests)
-    arrivals = np.cumsum(gaps)
-    p_reqs = make_reqs(n_requests)
-    for r, a in zip(p_reqs, arrivals):
-        r.arrival_s = float(a)
-    t0 = time.perf_counter()
-    results = eng.run(p_reqs)
-    dt = time.perf_counter() - t0
-    total = sum(r.tokens.shape[-1] for r in results)
-    ttfts = sorted(r.ttft_s for r in results if r.ttft_s is not None)
-    out.update({
-        "serving_poisson_rps": round(rps, 3),
-        "serving_poisson_tok_s": round(total / dt, 2),
-        "serving_poisson_p50_ttft_ms": round(1000 * pct(ttfts, 0.5), 1),
-        "serving_poisson_p95_ttft_ms": round(1000 * pct(ttfts, 0.95), 1),
-        # merged chunked prefill activity across BOTH runs (v5): installs
-        # ride the decode chunks; dedicated prefills are cold-start/burst
-        "serving_merged_installs": eng.stats["merged_installs"],
-        "serving_dedicated_prefills": eng.stats["dedicated_prefills"],
-        # per-branch host wall/dispatch-count breakdown of the POISSON run
-        # (async dispatches: device time lands on the branch reading back)
-        "serving_poisson_breakdown": {
-            k: (round(v, 2) if isinstance(v, float) else v)
-            for k, v in eng.last_run_stats.items()},
-    })
+    for rps in rps_points:
+        pt = _poisson_point(eng, _serving_reqs(cfg, n_requests, max_new, B),
+                            rps)
+        out.update({f"{prefix}_rps{rps}_{k}": v for k, v in pt.items()})
+        if rps == 2.0:
+            # per-branch host wall/dispatch counts of the 2.0 point (async
+            # dispatches: device time lands on the branch reading back)
+            out[f"{prefix}_rps2.0_breakdown"] = {
+                k: (round(v, 2) if isinstance(v, float) else v)
+                for k, v in eng.last_run_stats.items()}
+    out[f"{prefix}_merged_installs"] = eng.stats["merged_installs"]
+    out[f"{prefix}_dedicated_prefills"] = eng.stats["dedicated_prefills"]
     return out
+
+
+def bench_serving_nomerge(B=4, n_requests=24, max_new=64):
+    """The merged-prefill A/B arm (VERDICT r4 item 2): the IDENTICAL
+    engine and fixed-rps ladder with merged chunked prefill disabled --
+    every refill is a dedicated grouped prefill dispatch. Own stage (own
+    engine compile budget)."""
+    out = bench_serving(B=B, n_requests=n_requests, max_new=max_new,
+                        merged=False, prefix="serving_nomerge")
+    # rename ladder keys to the pattern the ladder-comparison reads:
+    # serving_rps{r}_nomerge_* next to serving_rps{r}_*
+    ren = {}
+    for k, v in out.items():
+        if "_rps" in k:
+            ren[k.replace("serving_nomerge_rps", "serving_rps")
+                 .replace("_tok_s", "_nomerge_tok_s")
+                 .replace("_p50_ttft_ms", "_nomerge_p50_ttft_ms")
+                 .replace("_p95_ttft_ms", "_nomerge_p95_ttft_ms")
+                 .replace("_breakdown", "_nomerge_breakdown")] = v
+        else:
+            ren[k] = v
+    return ren
 
 
 def bench_serving_spec(B=4, n_requests=24, max_new=64, decode_chunk=8,
                        gamma=3):
-    """n-gram speculative decode in the engine (draft+verify chunks): the
-    bench_serving burst shape with gen.spec_decode=gamma. Own stage: the
-    spec engine compiles its own prefill+chunk programs (minutes through
-    the remote compiler), which would crowd the serving stage's timeout.
-    CEILING number on random weights (see bench_spec_decode's note)."""
-    import dataclasses
+    """Engine-level speculative decode at an acceptance-friendly operating
+    point (VERDICT r4 item 7: the old stage re-measured the known-losing
+    accept~0 point every round).
 
+    Pass 1 runs the spec engine on the canonical workload and RECORDS each
+    request's emitted stream (greedy + per-row-independent math make it
+    deterministic per request). Pass 2 re-runs the identical workload with
+    the drafter replaced by an oracle that serves each slot the recorded
+    continuation, keyed on a per-request marker token at the prompt's last
+    (bucket-relative) position -- the engine-level analogue of
+    bench_spec_decode's oracle point: acceptance -> 1 while every token is
+    still verified by the target forward. Reports the measured acceptance
+    rate and tokens/s; speedup vs the gamma=0 engine is computed against
+    the serving stage's burst number on the SAME workload (read from
+    BENCH_RESULTS.json, written by the earlier stage)."""
+    import json as _json
+    import os as _os
+
+    import jax
+    import jax.numpy as jnp
+
+    from libra_tpu import spec_decode as SD
     from libra_tpu.generation import GenerationConfig
-    from libra_tpu.serving import Request, ServingEngine
-    from __graft_entry__ import _example_batch, _flagship_cfg
+    from libra_tpu.serving import ServingEngine
+    from __graft_entry__ import _flagship_cfg
 
     cfg = _flagship_cfg(32)
     params = _device_quantized_params(cfg)
     gen = GenerationConfig(eos_token_id=-1, kv_quant=True, a8_prefill=True,
                            decode_modality="text", spec_decode=gamma)
+    MARK0 = 1000                       # request-id marker token base
+    NB = 640                           # the workload's single bucket
+
+    def mk(n):
+        return _serving_reqs(cfg, n, max_new, B, mark0=MARK0)
+
+    # ---- pass 1: record the greedy stream per request ----
     eng = ServingEngine(params, cfg, max_batch=B, max_len=768, gen=gen,
-                        prompt_bucket=640, decode_chunk=decode_chunk)
+                        prompt_bucket=NB, decode_chunk=decode_chunk)
+    eng.run(mk(2 * B - 1))             # compile chunk + refill sizes
+    res1 = eng.run(mk(n_requests))
+    streams = np.zeros((n_requests, max_new + gamma + 1), np.int32)
+    for r in res1:
+        t = np.asarray(r.tokens[0], np.int32)
+        streams[r.request_id, :t.shape[0]] = t
+    table = jnp.asarray(streams)
 
-    def make_reqs(n):
-        reqs = []
-        for i in range(n):
-            tl = 16 + (i % 4) * 8
-            ids, _, vi, sig = _example_batch(cfg, B=1, text_len=tl, seed=i)
-            reqs.append(Request(
-                request_id=i, input_ids=np.asarray(ids[:, 0]),
-                vision_indices=np.asarray(vi[0]),
-                contiguous_signal=np.asarray(sig[0]),
-                max_new_tokens=max_new))
-        return reqs
+    # ---- pass 2: oracle drafter keyed on the marker token ----
+    def oracle_drafts(hist, valid, P, pending, g_):
+        rid = jnp.clip(hist[:, NB - 1] - MARK0, 0, n_requests - 1)
+        # pending is generated token number (P - NB); its successors
+        # in the recorded stream start at P - NB + 1
+        start = jnp.clip(P - NB + 1, 0, table.shape[1] - g_)
+        return jax.vmap(lambda r, s: jax.lax.dynamic_slice(
+            table[r], (s,), (g_,)))(rid, start)
 
-    eng.run(make_reqs(2 * B - 1))       # compile chunk + refill sizes
-    t0 = time.perf_counter()
-    results = eng.run(make_reqs(n_requests))
-    dt = time.perf_counter() - t0
-    total = sum(r.tokens.shape[-1] for r in results)
-    return {"serving_spec_tok_s": round(total / dt, 2),
-            "serving_spec_gamma": gamma,
-            "serving_spec_requests": len(results)}
+    orig = SD._bigram_drafts
+    SD._bigram_drafts = oracle_drafts
+    try:
+        eng2 = ServingEngine(params, cfg, max_batch=B, max_len=768, gen=gen,
+                             prompt_bucket=NB, decode_chunk=decode_chunk)
+        eng2.run(mk(2 * B - 1))        # compile (fresh engine, own jits)
+        t0 = time.perf_counter()
+        res2 = eng2.run(mk(n_requests))
+        dt = time.perf_counter() - t0
+    finally:
+        SD._bigram_drafts = orig
+    total = sum(r.tokens.shape[-1] for r in res2)
+    rs = eng2.last_run_stats
+    # per-slot spec iterations that emitted anything; each emits 1..K
+    act = max(rs["active_iters"], 1)
+    accept = max(total / act - 1.0, 0.0) / gamma
+    out = {
+        "serving_spec_tok_s": round(total / dt, 2),
+        "serving_spec_accept_rate": round(accept, 3),
+        "serving_spec_gamma": gamma,
+        "serving_spec_requests": len(res2),
+        # fraction of pass-2 tokens equal to pass 1's recorded stream
+        # (reported, not asserted: bf16 argmax ties on random weights)
+        "serving_spec_stream_match": round(float(np.mean([
+            np.mean(np.asarray(r.tokens[0], np.int32)
+                    == streams[r.request_id, :r.tokens.shape[-1]])
+            for r in res2])), 3),
+    }
+    # speedup vs the gamma=0 engine on the SAME burst workload: the
+    # serving stage already measured it; its numbers are durable in
+    # BENCH_RESULTS.json by the time this stage runs
+    try:
+        with open(_os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                                "BENCH_RESULTS.json")) as f:
+            base = _json.load(f)["results"].get("serving_tok_s")
+        if base:
+            out["serving_spec_speedup_vs_g0"] = round(
+                out["serving_spec_tok_s"] / base, 3)
+    except (OSError, ValueError, KeyError):
+        pass
+    return out
 
 
 def bench_chat_multiturn(B=4, text_len=32, delta_len=24, max_len=1024):
@@ -1002,16 +1138,17 @@ def bench_kernel_lowering():
 _STAGES = {
     # FIRST: cheap per-kernel TPU lowering smoke -- fails loudly up front
     "kernel_lowering": (lambda: bench_kernel_lowering(), 600),
-    "vision_encode": (lambda: {"vision_encode_img_s_b8":
-                               round(bench_vision_encode(), 2)}, 480),
+    "vision_encode": (lambda: bench_vision_encode(), 480),
     "decode_full32_int8": (lambda: (lambda r: {
         "decode_full32_tok_s": round(r[0], 2),
         "decode_full32_wall_s": round(r[1], 3), **r[2]})(
             bench_decode_full_int8()), 1500),
     "spec_decode": (lambda: bench_spec_decode(), 2400),
     "vqa_full32": (lambda: _vqa_stage(), 2400),
-    "serving": (lambda: bench_serving(), 2400),
-    "serving_spec": (lambda: bench_serving_spec(), 2400),
+    "serving": (lambda: bench_serving(), 2700),
+    # merged-prefill A/B arm: identical ladder, merged forced OFF
+    "serving_nomerge": (lambda: bench_serving_nomerge(), 2700),
+    "serving_spec": (lambda: bench_serving_spec(), 3000),
     # larger slot pool: decode bytes/step are weights-dominated (6.6 GB
     # weights vs ~0.2 GB KV per slot at S=768), so doubling the pool
     # nearly doubles aggregate tokens/s at roughly equal step time.
@@ -1019,7 +1156,8 @@ _STAGES = {
     # the remote compiler (HTTP 500, observed r4)
     "serving8": (lambda: {"serving8" + k[len("serving"):]: v
                           for k, v in bench_serving(
-                              B=8, n_requests=32, group_cap=4).items()}, 2700),
+                              B=8, n_requests=32, group_cap=4,
+                              rps_points=(2.0, 2.5)).items()}, 2700),
     "chat": (lambda: bench_chat_multiturn(), 1500),
     "train_step": (lambda: dict(zip(
         ("train_step_tok_s", "train_mfu", "train_mfu_legacy6x"),
@@ -1057,11 +1195,40 @@ def _run_stage(name):
     print("STAGE_RESULT " + json.dumps(out), flush=True)
 
 
+# Curated stdout keys (VERDICT r4 item 1): the driver records only the
+# LAST 2000 chars of stdout, which in r4 truncated the final JSON mid-dict
+# and ate the headline numbers. The COMPLETE per-stage dict now lands in
+# BENCH_RESULTS.json (rewritten after every stage, so even a crashed run
+# keeps everything finished so far); stdout carries a short curated
+# summary that always fits in the tail, with "value" printed LAST.
+_HEADLINE = (
+    "kernel_lowering_ok",
+    "vision_encode_img_s_b8", "vision_encode_pct_of_sol",
+    "decode_pct_of_sol", "decode_sol_tok_s",
+    "vqa_full32_ttft_ms", "vqa_full32_tok_s",
+    "spec_oracle_speedup", "spec_decode_speedup",
+    "serving_tok_s", "serving_p50_ttft_ms",
+    "serving_rps2.0_p50_ttft_ms", "serving_rps2.0_tok_s",
+    "serving_rps2.0_nomerge_p50_ttft_ms",
+    "serving_spec_tok_s", "serving_spec_accept_rate",
+    "serving8_tok_s", "serving8_rps2.0_p50_ttft_ms",
+    "chat_turn1_ttft_ms", "chat_turn2_ttft_ms",
+    "train_step_tok_s", "train_mfu",
+    "matvec_int8_pallas_gb_s", "matvec_int4_gb_s",
+    "train_compile_8chip_fsdp8_peak_hbm_gb",
+)
+
+
 def main():
+    import os
     import subprocess
     import sys
 
+    results_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_RESULTS.json")
     extra = {}
+    stages_meta = {}
+    t_start = time.time()
     for name, (_, timeout) in _STAGES.items():
         t = time.perf_counter()
         try:
@@ -1078,15 +1245,35 @@ def main():
                     + proc.stderr.strip()[-150:])
         except subprocess.TimeoutExpired:
             extra[f"{name}_error"] = f"timeout after {timeout}s"
+        stages_meta[name] = round(time.perf_counter() - t, 1)
+        # durable write after EVERY stage: a timeout/crash later in the
+        # run can no longer lose the numbers already measured
+        with open(results_path, "w") as f:
+            json.dump({"started_unix": round(t_start, 1),
+                       "stage_wall_s": stages_meta,
+                       "results": extra}, f, indent=1, sort_keys=True)
+            f.write("\n")
         _stage(name, t)
 
-    print(json.dumps({
-        "metric": "decode_tok_s_full_11b_int8_single_chip_b4",
-        "value": extra.pop("decode_full32_tok_s", 0.0),
+    headline = {k: extra[k] for k in _HEADLINE if k in extra}
+    errors = {k: str(v)[:60] for k, v in extra.items()
+              if k.endswith("_error")}
+    final = {
+        "results_file": "BENCH_RESULTS.json",
         "unit": "tokens/s",
         "vs_baseline": None,
-        "extra": extra,
-    }))
+        "errors": errors,
+        "extra": headline,
+        "metric": "decode_tok_s_full_11b_int8_single_chip_b4",
+        "value": extra.get("decode_full32_tok_s", 0.0),
+    }
+    line = json.dumps(final)
+    # hard guarantee: the whole line fits the driver's 2000-char tail
+    while len(line) > 1900 and (final["extra"] or final["errors"]):
+        (final["extra"] or final["errors"]).pop(
+            next(iter(final["extra"] or final["errors"])))
+        line = json.dumps(final)
+    print(line)
 
 
 if __name__ == "__main__":

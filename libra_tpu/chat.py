@@ -332,8 +332,9 @@ class ChatSession:
     # -- per-turn ----------------------------------------------------------
 
     def _fn(self, Nb: int, lang_only: bool, max_new: int,
-            has_pixels: bool = False, spec: bool = False):
-        key = (Nb, lang_only, max_new, has_pixels, spec)
+            has_pixels: bool = False, spec: bool = False,
+            has_sig: bool = True):
+        key = (Nb, lang_only, max_new, has_pixels, spec, has_sig)
         if key not in self._fns:
             if spec:
                 f = functools.partial(_spec_turn_impl, cfg=self.cfg,
@@ -383,11 +384,17 @@ class ChatSession:
                     "pixels shape %r != the session's CLIP input "
                     "(%d, %d, %d, 3)" % (tuple(pixels.shape), B, side, side))
             img_start = np.asarray(img_start, np.int32)
-            sig = np.zeros((B, Nd, cfg.contiguous_signal_size), np.float32)
+            # pixels turns NEVER ship a host signal: _delta_prefill
+            # replaces it with the on-device CLIP scatter. The r4 bench's
+            # unexplained 300 ms of chat turn-1 TTFT over the same-shape
+            # vqa_full32 prefill was exactly this -- a (B, 640, 2048) fp32
+            # ZEROS placeholder (21 MB at B=4) staged through the TPU
+            # tunnel every turn (VERDICT r4 item 5).
+            sig = None
         else:
             sig = inputs.get("coninous_signal")
-            sig = (np.zeros((B, Nd, cfg.contiguous_signal_size), np.float32)
-                   if sig is None else np.asarray(sig, np.float32))
+            # all-zero signals (plain text turns) also stay host-side None
+            sig = None if sig is None else np.asarray(sig, np.float32)
 
         pad = (-Nd) % self.delta_bucket
         if pad:
@@ -396,7 +403,8 @@ class ChatSession:
             vi = np.pad(vi, ((0, 0), (pad, 0)),
                         constant_values=cfg.max_vision_token_length)
             pm = np.pad(pm, ((0, 0), (pad, 0)))
-            sig = np.pad(sig, ((0, 0), (pad, 0), (0, 0)))
+            if sig is not None:
+                sig = np.pad(sig, ((0, 0), (pad, 0), (0, 0)))
             if img_start is not None:
                 img_start = img_start + pad
         Nb = Nd + pad
@@ -427,20 +435,23 @@ class ChatSession:
                 "a spec_decode session decodes text only; this turn "
                 "resolved decode_modality='dual' (delta ends inside an "
                 "image block) -- use a non-spec session for t2i turns")
+        sig_dev = None if sig is None else jnp.asarray(sig)
         with self._qk_ctx():
             if spec:
                 (toks, num_gen, cache, mask_buf, hist, vi_last,
                  pos_last) = self._fn(Nb, True, max_new,
-                                      pixels is not None, spec=True)(
+                                      pixels is not None, spec=True,
+                                      has_sig=sig is not None)(
                     self.params, self._cache, self._mask_buf, self._hist,
-                    jnp.asarray(ids), jnp.asarray(vi), jnp.asarray(sig),
+                    jnp.asarray(ids), jnp.asarray(vi), sig_dev,
                     jnp.asarray(pm), self._pos_last, rng, *px_args)
                 self._hist = hist
             else:
                 toks, num_gen, cache, mask_buf, vi_last, pos_last = self._fn(
-                    Nb, modality == "text", max_new, pixels is not None)(
+                    Nb, modality == "text", max_new, pixels is not None,
+                    has_sig=sig is not None)(
                         self.params, self._cache, self._mask_buf,
-                        jnp.asarray(ids), jnp.asarray(vi), jnp.asarray(sig),
+                        jnp.asarray(ids), jnp.asarray(vi), sig_dev,
                         jnp.asarray(pm), self._pos_last, rng, *px_args)
         self._cache, self._mask_buf = cache, mask_buf
         self._pos_last = pos_last

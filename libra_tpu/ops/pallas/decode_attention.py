@@ -76,14 +76,20 @@ def _head_block(H: int, S: int, d: int, n_buf: int) -> int:
     return 1
 
 
-def _cell_vmem_bytes(H: int, S: int, d: int, n_buf: int) -> int:
+def _cell_vmem_bytes(H: int, S: int, d: int, n_buf: int, N: int = 1) -> int:
     """Worst-case VMEM for one grid cell: the int8 KV blocks plus the FULL
     (H, S) fp32 scale planes (unblocked by design, see the scale-block note
-    below), everything double-buffered by the pipeline."""
+    below), everything double-buffered by the pipeline -- PLUS the
+    N-dependent blocks (ADVICE r4 item 2: merged chunked-prefill windows
+    run N up to 64, where the q/out/bias blocks and the per-head (N, S)
+    fp32 score+softmax temps are up to 64x the single-step sizes)."""
     hb = _head_block(H, S, d, n_buf)
     blocks = n_buf * hb * S * d          # int8 bytes
     scales = n_buf * H * S * 4           # fp32 planes
-    return 2 * (blocks + scales)
+    q_out = 2 * hb * N * d * 2           # q + out blocks, bf16
+    bias = N * S * 4                     # fp32 bias block
+    score = 2 * N * S * 4                # (N, S) fp32 scores + softmax temp
+    return 2 * (blocks + scales + q_out + bias) + score
 
 
 # Keep a cell comfortably inside the ~16 MB of VMEM (q/out/bias/flags and
@@ -278,4 +284,5 @@ def decode_kernel_applicable(cfg, cache_k, q_len: int) -> bool:
     H, S, d = cache_k.q.shape[-3:]
     n_buf = 4 if cfg.use_bridge else 2
     return (S % 128 == 0 and cfg.head_dim % 128 == 0
-            and _cell_vmem_bytes(H, S, d, n_buf) <= _MAX_CELL_VMEM)
+            and _cell_vmem_bytes(H, S, d, n_buf, N=q_len)
+            <= _MAX_CELL_VMEM)

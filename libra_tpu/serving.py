@@ -297,10 +297,16 @@ class ServingEngine:
         # iterations (each costs ~2x a plain decode iteration: the packed
         # body streams the dual-path weights; measured r4 33 vs 17
         # ms/iter at full-32). Longer prompts (multi-bucket) simply take
-        # several merged dispatches.
+        # several merged dispatches. _Km is the largest DIVISOR of
+        # bucket/C that fits decode_chunk (ADVICE r4 item 1: a plain
+        # min() left the tail dispatch of a multi-dispatch install parked
+        # for its remainder iterations, each ~2x plain-decode cost) --
+        # installs always complete exactly at a dispatch boundary.
         if self.prompt_bucket > 1 and self.prompt_bucket % self._C == 0:
-            self._Km = max(1, min(self.decode_chunk,
-                                  self.prompt_bucket // self._C))
+            n_iters = self.prompt_bucket // self._C
+            self._Km = max(
+                d for d in range(1, min(self.decode_chunk, n_iters) + 1)
+                if n_iters % d == 0)
         else:
             self._Km = self.decode_chunk
         supported = (self._gamma == 0 and not self._is_2d

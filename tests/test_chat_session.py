@@ -93,7 +93,7 @@ def test_two_turns_match_full_reprefill(tiny):
     r1 = sess.ask(t1, max_new_tokens=max_new)
     N1 = t1["input_ids"].shape[-1]
     Nb1 = N1 + (-N1) % 4
-    assert list(sess._fns) == [(Nb1, True, max_new, False, False)]
+    assert list(sess._fns) == [(Nb1, True, max_new, False, False, True)]
 
     # turn 1 must equal a plain Generator run on the same prompt
     g = Generator(params, cfg)
@@ -193,7 +193,7 @@ def test_t2i_turn_decodes_dual_path(tiny):
     t2["input_ids"][:, :, -1] = cfg.vocab_size + cfg.vision_vocab_size - 2
     t2["vision_indices"][:, -1] = 0               # delta ends at BOI
     r2 = sess.ask(t2, max_new_tokens=4)
-    assert (3, False, 4, False, False) in sess._fns      # dual-path body compiled
+    assert (3, False, 4, False, False, False) in sess._fns   # dual-path body
     new = np.asarray(r2.tokens)
     assert (new >= cfg.vocab_size).all()          # image continues
 
