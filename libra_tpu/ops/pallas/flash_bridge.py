@@ -41,8 +41,22 @@ legal (full-dim blocks are tile-padded), which is how ragged prompt
 lengths (e.g. the 610-token VQA prompt) ride the kernel without
 bucketing.
 
-Forward-only: training keeps the XLA path (same math, autodiff'd);
-prefill/decode use this kernel.
+Differentiable (r5): a custom VJP backs the kernel with a fused backward
+kernel (same grid family), so TRAINING attention also runs on Pallas --
+the XLA backward materialises several (B, H, Nq, Nk) probability/score
+planes in HBM per layer (the r4 train-MFU profile's largest non-matmul
+bucket); the fused backward recomputes scores in VMEM from the forward
+inputs (flash convention: no probability plane ever hits HBM) and
+accumulates dk/dv[/dkb/dvb] across q-blocks in a revisited fp32 output
+block.
+
+Cotangent contract: d(bias) is returned as ZEROS -- everywhere in this
+repo the additive bias derives from the integer attention mask (no
+gradient can flow), and skipping it keeps the backward single-pass (a
+true dbias = sum_h ds needs an h-accumulated output, which conflicts
+with the qi-accumulated dk/dv blocks in one grid). flag_q/flag_kv are
+boolean (float0 cotangents). Do NOT feed a learned float bias through
+this kernel path.
 """
 
 from __future__ import annotations
@@ -95,26 +109,18 @@ def _kernel(q_ref, k_ref, v_ref, *rest, scale: float, use_bridge: bool):
     out_ref[...] = (o / denom).astype(out_ref.dtype)
 
 
-def flash_bridged_attention(
-        q: jax.Array, k: jax.Array, v: jax.Array,
-        kb: Optional[jax.Array], vb: Optional[jax.Array],
-        flag_q: jax.Array, flag_kv: jax.Array, bias: jax.Array,
-        block_q: int = 256, interpret: bool = False) -> jax.Array:
-    """q: (B, Nq, H, d); k/v/kb/vb: (B, Nk, H, d); flag_q: (B, Nq);
-    flag_kv: (B, Nk); bias: (B, 1, Nq, Nk) additive fp32.
-    Returns (B, Nq, H, d)."""
+def _hm(x):
+    """head-major: (B, H, N, d) keeps block last-two dims (block, d)."""
+    return x.transpose(0, 2, 1, 3)
+
+
+def _fwd_impl(q, k, v, kb, vb, cross, bias, block_q, interpret):
+    """The forward pallas_call. cross: precomputed (B, Nq, Nk) fp32 in
+    {0,1} (None when no bridge); bias: (B, 1, Nq, Nk) additive fp32."""
     B, Nq, H, d = q.shape
     Nk = k.shape[1]
     use_bridge = kb is not None
-    block_q = min(block_q, Nq)
-    if Nq % block_q != 0:
-        raise ValueError(f"Nq={Nq} must be a multiple of block_q={block_q}")
     scale = 1.0 / (d ** 0.5)
-
-    # head-major: (B, H, N, d) keeps block last-two dims (block, d)
-    def hm(x):
-        return x.transpose(0, 2, 1, 3)
-
     grid = (B, H, Nq // block_q)
 
     q_spec = pl.BlockSpec((None, None, block_q, d),
@@ -132,15 +138,12 @@ def flash_bridged_attention(
 
     bias3 = bias.astype(jnp.float32).reshape(B, Nq, Nk)
     if use_bridge:
-        cross = (flag_q.astype(jnp.int32)[:, :, None]
-                 != flag_kv.astype(jnp.int32)[:, None, :]) \
-            .astype(jnp.float32)                             # (B, Nq, Nk)
         in_specs = [q_spec, kv_spec, kv_spec, kv_spec, kv_spec,
                     mask_spec, mask_spec]
-        args = (hm(q), hm(k), hm(v), hm(kb), hm(vb), cross, bias3)
+        args = (_hm(q), _hm(k), _hm(v), _hm(kb), _hm(vb), cross, bias3)
     else:
         in_specs = [q_spec, kv_spec, kv_spec, mask_spec]
-        args = (hm(q), hm(k), hm(v), bias3)
+        args = (_hm(q), _hm(k), _hm(v), bias3)
 
     kernel = functools.partial(_kernel, scale=scale, use_bridge=use_bridge)
     out = pl.pallas_call(
@@ -157,3 +160,216 @@ def flash_bridged_attention(
         ),
     )(*args)
     return out.transpose(0, 2, 1, 3)                         # (B, Nq, H, d)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, *rest, scale: float, use_bridge: bool):
+    """One (batch, head, q-block) cell of the fused backward: recompute
+    the probability block in VMEM from the forward inputs (no (Nq, Nk)
+    plane ever stored), emit dq for this q-block, and accumulate
+    dk/dv[/dkb/dvb] into fp32 output blocks revisited across the qi grid
+    dim (TPU grids run sequentially, last dim minor, so all qi steps of a
+    (b, h) pair are consecutive -- the accumulator block stays resident)."""
+    if use_bridge:
+        (kb_ref, vb_ref, cross_ref, bias_ref, o_ref, do_ref,
+         dq_ref, dk_ref, dv_ref, dkb_ref, dvb_ref) = rest
+    else:
+        (bias_ref, o_ref, do_ref, dq_ref, dk_ref, dv_ref) = rest
+        kb_ref = vb_ref = cross_ref = dkb_ref = dvb_ref = None
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+        if use_bridge:
+            dkb_ref[...] = jnp.zeros_like(dkb_ref)
+            dvb_ref[...] = jnp.zeros_like(dvb_ref)
+
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    # recompute the normalized probability block (forward math, verbatim)
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # (BQ, Nk)
+    if use_bridge:
+        cross = cross_ref[...]
+        sb = jax.lax.dot_general(
+            q, kb_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = s + cross * sb
+    s = s + bias_ref[...]
+    s = jnp.maximum(s, BIG_NEG)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)               # (BQ, Nk) f32
+
+    do = do_ref[...]
+    o = o_ref[...]
+    rowsum = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                     axis=-1, keepdims=True)                 # (BQ, 1)
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (BQ, Nk)
+    if use_bridge:
+        dp = dp + cross * jax.lax.dot_general(
+            do, vb_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    ds = p * (dp - rowsum)                                   # (BQ, Nk) f32
+    # Fully-masked rows (every score clamped to BIG_NEG; only possible
+    # for pad queries at the causal origin) forward a uniform average of
+    # V; define their score gradient as ZERO -- the output genuinely
+    # does not move with the inputs there. XLA autodiff instead splits
+    # the max-clamp tie 0.5/0.5 and leaks a halved garbage gradient;
+    # both are only reachable with a nonzero cotangent on a loss-masked
+    # row, which no real loss produces (see test_flash_bridge_fully_
+    # masked_row_grads).
+    ds = ds * (m > BIG_NEG).astype(ds.dtype)
+
+    ds_b = ds.astype(q.dtype)
+    p_b = p.astype(q.dtype)
+    dq = jax.lax.dot(ds_b, k, preferred_element_type=jnp.float32) * scale
+    if use_bridge:
+        dsx_b = (ds * cross).astype(q.dtype)
+        px_b = (p * cross).astype(q.dtype)
+        dq = dq + jax.lax.dot(dsx_b, kb_ref[...],
+                              preferred_element_type=jnp.float32) * scale
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+
+    tq = (((0,), (0,)), ((), ()))                            # X^T Y dims
+    dk_ref[...] += jax.lax.dot_general(
+        ds_b, q, dimension_numbers=tq,
+        preferred_element_type=jnp.float32) * scale          # (Nk, d)
+    dv_ref[...] += jax.lax.dot_general(
+        p_b, do, dimension_numbers=tq,
+        preferred_element_type=jnp.float32)
+    if use_bridge:
+        dkb_ref[...] += jax.lax.dot_general(
+            dsx_b, q, dimension_numbers=tq,
+            preferred_element_type=jnp.float32) * scale
+        dvb_ref[...] += jax.lax.dot_general(
+            px_b, do, dimension_numbers=tq,
+            preferred_element_type=jnp.float32)
+
+
+def _choose_block_q_bwd(nq: int) -> int:
+    """Backward q-block: smaller than the forward's 256 -- the cell also
+    holds the fp32 dk/dv accumulator blocks and the recomputed score
+    temps, so halve the q-extent to stay well inside VMEM."""
+    for b in (128, 64, 32, 16):
+        if nq % b == 0:
+            return b
+    return nq
+
+
+def _bwd_impl(q, k, v, kb, vb, cross, bias, out, do, interpret):
+    B, Nq, H, d = q.shape
+    Nk = k.shape[1]
+    use_bridge = kb is not None
+    scale = 1.0 / (d ** 0.5)
+    block_q = _choose_block_q_bwd(Nq)
+    grid = (B, H, Nq // block_q)
+
+    q_spec = pl.BlockSpec((None, None, block_q, d),
+                          lambda b, h, qi: (b, h, qi, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((None, None, Nk, d),
+                           lambda b, h, qi: (b, h, 0, 0),
+                           memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((None, block_q, Nk),
+                             lambda b, h, qi: (b, qi, 0),
+                             memory_space=pltpu.VMEM)
+    # dk/dv accumulators: one (Nk, d) fp32 block per (b, h), revisited
+    # across qi (index_map constant in qi => consecutive grid steps)
+    dkv_spec = pl.BlockSpec((None, None, Nk, d),
+                            lambda b, h, qi: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    bias3 = bias.astype(jnp.float32).reshape(B, Nq, Nk)
+    kv_shape = jax.ShapeDtypeStruct((B, H, Nk, d), jnp.float32)
+    out_shapes = [jax.ShapeDtypeStruct((B, H, Nq, d), q.dtype),  # dq
+                  kv_shape, kv_shape]                            # dk, dv
+    out_specs = [q_spec, dkv_spec, dkv_spec]
+    if use_bridge:
+        in_specs = [q_spec, kv_spec, kv_spec, kv_spec, kv_spec,
+                    mask_spec, mask_spec, q_spec, q_spec]
+        args = (_hm(q), _hm(k), _hm(v), _hm(kb), _hm(vb), cross, bias3,
+                _hm(out), _hm(do))
+        out_shapes += [kv_shape, kv_shape]                       # dkb, dvb
+        out_specs += [dkv_spec, dkv_spec]
+    else:
+        in_specs = [q_spec, kv_spec, kv_spec, mask_spec, q_spec, q_spec]
+        args = (_hm(q), _hm(k), _hm(v), bias3, _hm(out), _hm(do))
+
+    kernel = functools.partial(_bwd_kernel, scale=scale,
+                               use_bridge=use_bridge)
+    grads = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * Nq * Nk * d * (11 if use_bridge else 5),
+            bytes_accessed=B * H * (4 * Nq + 10 * Nk) * d * 2,
+            transcendentals=B * H * Nq * Nk,
+        ),
+    )(*args)
+
+    def um(x):                                   # back to (B, N, H, d)
+        return x.transpose(0, 2, 1, 3)
+
+    dq = um(grads[0])
+    dk = um(grads[1]).astype(k.dtype)
+    dv = um(grads[2]).astype(v.dtype)
+    if use_bridge:
+        return dq, dk, dv, um(grads[3]).astype(kb.dtype), \
+            um(grads[4]).astype(vb.dtype)
+    return dq, dk, dv, None, None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _flash(block_q, interpret, q, k, v, kb, vb, flag_q, flag_kv, bias):
+    cross = _make_cross(flag_q, flag_kv) if kb is not None else None
+    return _fwd_impl(q, k, v, kb, vb, cross, bias, block_q, interpret)
+
+
+def _make_cross(flag_q, flag_kv):
+    return (flag_q.astype(jnp.int32)[:, :, None]
+            != flag_kv.astype(jnp.int32)[:, None, :]).astype(jnp.float32)
+
+
+def _flash_fwd(block_q, interpret, q, k, v, kb, vb, flag_q, flag_kv, bias):
+    cross = _make_cross(flag_q, flag_kv) if kb is not None else None
+    out = _fwd_impl(q, k, v, kb, vb, cross, bias, block_q, interpret)
+    return out, (q, k, v, kb, vb, cross, bias, out)
+
+
+def _flash_bwd(block_q, interpret, res, do):
+    q, k, v, kb, vb, cross, bias, out = res
+    dq, dk, dv, dkb, dvb = _bwd_impl(q, k, v, kb, vb, cross, bias, out, do,
+                                     interpret)
+    # bias cotangent is ZERO by contract (mask-derived everywhere in this
+    # repo; see module docstring); flag cotangents are float0 (None)
+    return (dq, dk, dv, dkb, dvb, None, None, jnp.zeros_like(bias))
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_bridged_attention(
+        q: jax.Array, k: jax.Array, v: jax.Array,
+        kb: Optional[jax.Array], vb: Optional[jax.Array],
+        flag_q: jax.Array, flag_kv: jax.Array, bias: jax.Array,
+        block_q: int = 256, interpret: bool = False) -> jax.Array:
+    """q: (B, Nq, H, d); k/v/kb/vb: (B, Nk, H, d); flag_q: (B, Nq);
+    flag_kv: (B, Nk); bias: (B, 1, Nq, Nk) additive fp32.
+    Returns (B, Nq, H, d). Differentiable in q/k/v/kb/vb (fused Pallas
+    backward); bias gradient is zero by contract (module docstring)."""
+    Nq = q.shape[1]
+    block_q = min(block_q, Nq)
+    if Nq % block_q != 0:
+        raise ValueError(f"Nq={Nq} must be a multiple of block_q={block_q}")
+    return _flash(block_q, interpret, q, k, v, kb, vb, flag_q, flag_kv, bias)

@@ -85,9 +85,21 @@ def _scatter_block(row: jax.Array, block: jax.Array, start) -> jax.Array:
         row, block.astype(row.dtype), (start,) + (0,) * (row.ndim - 1))
 
 
+def resolve_attn_impl(attn_impl: str) -> str:
+    """'auto' -> the fused Pallas flash kernel on TPU, XLA elsewhere --
+    the same resolution generation._prefill and ServingEngine use. With
+    the r5 custom VJP (ops/pallas/flash_bridge.py) the kernel is
+    differentiable, so TRAINING defaults onto it too: the XLA backward
+    materialises (B, H, N, N) probability planes in HBM per layer; the
+    fused backward recomputes them in VMEM."""
+    if attn_impl == "auto":
+        return "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+    return attn_impl
+
+
 def fused_loss_fn(params, vq_params, cfg: LibraConfig, vq_cfg: VQGANConfig,
                   batch: FusedBatch, remat: bool = True,
-                  dropout_rng=None) -> jax.Array:
+                  dropout_rng=None, attn_impl: str = "auto") -> jax.Array:
     Q = cfg.vision_codebook_num
     B, N = batch.text_ids.shape
     Mv = cfg.max_vision_token_length
@@ -108,7 +120,8 @@ def fused_loss_fn(params, vq_params, cfg: LibraConfig, vq_cfg: VQGANConfig,
     flag = batch.vision_indices < Mv
     out = M.forward(params, cfg, ids, batch.attention_mask,
                     batch.vision_indices, sig, remat=remat,
-                    dropout_rng=dropout_rng)
+                    dropout_rng=dropout_rng,
+                    attn_impl=resolve_attn_impl(attn_impl))
     tl = M.compute_text_logits(params, out.hidden_states)
     if cfg.vision_prediction_mode == "2d":
         vl = M.compute_vision_logits_2d(params, cfg, out.hidden_states,
@@ -121,7 +134,8 @@ def fused_loss_fn(params, vq_params, cfg: LibraConfig, vq_cfg: VQGANConfig,
 
 def make_fused_train_step(cfg: LibraConfig, vq_cfg: VQGANConfig,
                           opt: optax.GradientTransformation,
-                          dropout_seed: int = 0, grad_mask=None):
+                          dropout_seed: int = 0, grad_mask=None,
+                          attn_impl: str = "auto"):
     """grad_mask: static bool pytree (training.optimizer.trainable_mask)
     -- frozen leaves never get dL/dW matmuls emitted (see
     trainer.masked_value_and_grad)."""
@@ -133,7 +147,7 @@ def make_fused_train_step(cfg: LibraConfig, vq_cfg: VQGANConfig,
                if M.dropout_enabled(cfg) else None)
         loss, grads = masked_value_and_grad(
             lambda p: fused_loss_fn(p, vq_params, cfg, vq_cfg, batch,
-                                    dropout_rng=rng),
+                                    dropout_rng=rng, attn_impl=attn_impl),
             state.params, grad_mask)
         updates, new_opt = opt.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -1,5 +1,7 @@
 """Pallas kernel parity tests (interpret mode on CPU)."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -50,6 +52,120 @@ def test_flash_bridge_block_split():
                                    block_q=8, interpret=True)
     np.testing.assert_allclose(np.asarray(one), np.asarray(many),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("use_bridge", [True, False])
+@pytest.mark.parametrize("nq,nk", [(16, 16), (8, 24)])
+def test_flash_bridge_grads_match_xla(use_bridge, nq, nk):
+    """Fused Pallas backward (custom VJP, interpret) vs XLA autodiff of
+    bridged_attention: dq/dk/dv[/dkb/dvb] must agree. bias grad is zero
+    by contract (mask-derived; flash_bridge.py module docstring)."""
+    B, H, d = 2, 2, 8
+    ks = jax.random.split(jax.random.PRNGKey(3), 8)
+    q = jax.random.normal(ks[0], (B, nq, H, d))
+    k = jax.random.normal(ks[1], (B, nk, H, d))
+    v = jax.random.normal(ks[2], (B, nk, H, d))
+    kb = jax.random.normal(ks[3], (B, nk, H, d)) if use_bridge else None
+    vb = jax.random.normal(ks[4], (B, nk, H, d)) if use_bridge else None
+    flag_q = jax.random.bernoulli(ks[5], 0.5, (B, nq))
+    flag_kv = jnp.concatenate(
+        [jax.random.bernoulli(ks[6], 0.5, (B, nk - nq)), flag_q], axis=1) \
+        if nk > nq else flag_q
+    # mask interior keys (2, 3), not the causal origin: a FULLY-masked
+    # query row has an intentionally different (zero, not tie-split)
+    # gradient -- covered by test_flash_bridge_fully_masked_row_grads
+    mask = jnp.ones((B, nk), jnp.int32).at[0, 2:4].set(0)
+    bias = causal_bias(mask, nq, nk)
+    cot = jax.random.normal(ks[7], (B, nq, H, d))
+
+    diff_args = (q, k, v, kb, vb) if use_bridge else (q, k, v)
+
+    def loss_flash(*ops):
+        qq, kk, vv = ops[:3]
+        kbb, vbb = (ops[3], ops[4]) if use_bridge else (None, None)
+        out = flash_bridged_attention(qq, kk, vv, kbb, vbb, flag_q,
+                                      flag_kv, bias, block_q=8,
+                                      interpret=True)
+        return jnp.sum(out * cot)
+
+    def loss_xla(*ops):
+        qq, kk, vv = ops[:3]
+        kbb, vbb = (ops[3], ops[4]) if use_bridge else (None, None)
+        out = bridged_attention(AttentionInputs(qq, kk, vv, kbb, vbb),
+                                flag_q, flag_kv, bias)
+        return jnp.sum(out * cot)
+
+    got = jax.grad(loss_flash, argnums=tuple(range(len(diff_args))))(
+        *diff_args)
+    want = jax.grad(loss_xla, argnums=tuple(range(len(diff_args))))(
+        *diff_args)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_flash_bridge_fully_masked_row_grads():
+    """A fully-masked query row (pad token at the causal origin) gets a
+    ZERO score gradient from the fused backward -- NOT XLA autodiff's
+    halved tie-split garbage (flash_bridge.py _bwd_kernel comment). Rows
+    with any visible key must still match XLA exactly."""
+    B, H, d, N = 1, 2, 8, 16
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    q = jax.random.normal(ks[0], (B, N, H, d))
+    k = jax.random.normal(ks[1], (B, N, H, d))
+    v = jax.random.normal(ks[2], (B, N, H, d))
+    flag = jnp.zeros((B, N), jnp.bool_)
+    # keys 0..1 masked => causal rows 0..1 see NOTHING
+    mask = jnp.ones((B, N), jnp.int32).at[0, :2].set(0)
+    bias = causal_bias(mask, N, N)
+
+    def loss(fn, qq, kk, vv):
+        return jnp.sum(fn(qq, kk, vv) ** 2)
+
+    def flash(qq, kk, vv):
+        return flash_bridged_attention(qq, kk, vv, None, None, flag, flag,
+                                       bias, block_q=8, interpret=True)
+
+    def xla(qq, kk, vv):
+        return bridged_attention(AttentionInputs(qq, kk, vv, None, None),
+                                 flag, flag, bias)
+
+    got = jax.grad(functools.partial(loss, flash), argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(functools.partial(loss, xla), argnums=(0, 1, 2))(q, k, v)
+    # dq on the dead rows: exactly zero from the kernel
+    np.testing.assert_array_equal(np.asarray(got[0][:, :2]), 0.0)
+    # live rows: parity with XLA on every grad
+    np.testing.assert_allclose(np.asarray(got[0][:, 2:]),
+                               np.asarray(want[0][:, 2:]),
+                               rtol=2e-4, atol=2e-4)
+    # dv: the dead rows' uniform-average contribution matches XLA (the
+    # forward really does emit mean(V) there in both paths)
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(want[2]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_flash_bridge_grad_under_jit_and_bool_flags():
+    """The VJP must survive jit and boolean flags (float0 cotangents),
+    and multi-q-block backward must equal single-block."""
+    B, H, d, N = 1, 2, 8, 32
+    ks = jax.random.split(jax.random.PRNGKey(9), 6)
+    q, k, v, kb, vb = (jax.random.normal(ks[i], (B, N, H, d))
+                       for i in range(5))
+    flag = jax.random.bernoulli(ks[5], 0.3, (B, N))
+    bias = causal_bias(jnp.ones((B, N), jnp.int32), N, N)
+
+    def loss(bq, qq, kk):
+        out = flash_bridged_attention(qq, kk, v, kb, vb, flag, flag, bias,
+                                      block_q=bq, interpret=True)
+        return jnp.sum(out ** 2)
+
+    g_one = jax.jit(jax.grad(functools.partial(loss, 32),
+                             argnums=(0, 1)))(q, k)
+    g_many = jax.jit(jax.grad(functools.partial(loss, 8),
+                              argnums=(0, 1)))(q, k)
+    for a, b in zip(g_one, g_many):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_int4_matmul_interpret():
