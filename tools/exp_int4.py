@@ -1,20 +1,32 @@
 """Experiment: can int4 weight streaming beat the int8 kernel at decode?
 
-The shipped int4 kernel (ops/pallas/int4_matmul.py) is VPU-unpack-bound:
-341 GB/s of int4 bytes vs the int8 kernel's 715 GB/s -- same wall time,
-so int4 currently only halves memory, not latency. Hypotheses tested
-here on the real chip, (4096, 11008) decode matvec:
+The shipped int4 kernel (ops/pallas/int4_matmul.py) is VPU-unpack-bound.
+Hypotheses, on the real chip, (4096, 11008) decode matvec with STACKED
+(L=8) weights and a rotating layer index (a single reused weight gets
+hoisted into VMEM by XLA and "measures" >1 TB/s -- same guard as
+bench.bench_kernels):
 
-  A. baseline: shipped packed-uint8 kernel (int32 nibble unpack).
-  B. native int4 ref: store weights as jnp.int4 (logical (K, O), 4-bit
-     storage); the kernel reads w4_ref[...] and casts to bf16 -- if
-     Mosaic lowers int4 loads/casts in hardware the unpack is ~free.
-  C. per-group accumulator scaling on B: skip the per-element scale
-     multiply; acc_o = sum_g s_g,o * dot(x_g, q_g) with one K=group dot
-     per group (group=128 == the native MXU tile).
+  A. baseline: shipped packed-uint8 kernel (int32 nibble unpack:
+     widen + (and, xor, sub) + (shift, xor, sub) + 2 scale muls ~= 9
+     VPU ops per packed byte).
+  D. signed-byte pack: byte = (q1 << 4) | (q0 + 8) as int8 = 16*q1 + u0,
+     u0 in [0,16). Unpack = ONE arithmetic shift (hi) + ONE mask (lo) in
+     int32, then 2 scale muls; the +8 lo bias folds into a per-group
+     correction dot acc -= 8 * (group-sums of xe) @ s. ~5 VPU ops vs
+     A's ~9.
+  D16. same but the shift/mask in int16 (2 lanes/word) -- crashed the
+     remote Mosaic compiler once (HTTP 500); retried LAST so a crash
+     can't eat the other measurements.
+  C. scale-on-accumulator with a STATIC unrolled group loop (the
+     fori_loop + dynamic_slice version does not lower: "Unimplemented
+     primitive ... dynamic_slice").
+  B. native jnp.int4 storage was tried and is DEAD on axon: any
+     host->device transfer or jit producing an S4 buffer recurses in
+     the client (RecursionError in apply_primitive) -- not retried.
 
-Timing: traced-loop differencing (single compile, two trip counts) --
-per-call tunnel overhead is ~27 ms, so single dispatches are never timed.
+Timing: bench.bench_kernels' scheme -- one jitted scan per trip count
+with an epsilon-weighted output dependence, best-of-3, two-point
+differencing. Run: python -m tools.exp_int4
 """
 import functools
 import time
@@ -23,170 +35,273 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-K, O = 4096, 11008
+K, O, L = 4096, 11008, 8
+INTERPRET = False   # set True for CPU numerics checks (tiny shapes advised)
 GROUP = 128
+INT4_BYTES = K * O // 2
+Bp = 8
 
 
-def timed_loop(fn, x0, n1=50, n2=150):
-    """fn: x -> x-shaped output; returns per-call seconds."""
-
-    @jax.jit
-    def loop(x, n):
-        def body(c, _):
-            return fn(c), None
-
-        out, _ = jax.lax.scan(body, x, None, length=n1)
-        def body2(c, _):
-            return fn(c), None
-        # two loop lengths inside ONE program would double compile; use
-        # two jitted programs instead, sharing the traced fn
-        return out
-
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def loopn(x, n):
-        def body(c, _):
-            return fn(c), None
-
-        out, _ = jax.lax.scan(body, x, None, length=n)
-        return out
-
-    r1 = loopn(x0, n=n1)
-    np.asarray(r1).ravel()[0]            # real readback (axon sync)
-    t0 = time.perf_counter()
-    r1 = loopn(x0, n=n1)
-    np.asarray(r1).ravel()[0]
-    t1 = time.perf_counter() - t0
-    r2 = loopn(x0, n=n2)
-    np.asarray(r2).ravel()[0]
-    t0 = time.perf_counter()
-    r2 = loopn(x0, n=n2)
-    np.asarray(r2).ravel()[0]
-    t2 = time.perf_counter() - t0
-    return (t2 - t1) / (n2 - n1)
+def _sync(x):
+    return np.asarray(x).ravel()[0]
 
 
-def report(name, sec, eff_bytes):
-    gbs = eff_bytes / sec / 1e9
-    print(f"{name}: {sec * 1e3:.3f} ms  {gbs:.0f} GB/s effective",
-          flush=True)
+def timed(fn, x):
+    """fn: (x, layer_idx) -> (B, K)-sliceable output; per-iter seconds."""
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def loop(n, x0):
+        def body(c, i):
+            out = fn(c, i % L)
+            return c + 1e-30 * out[:c.shape[0], :c.shape[-1]].astype(
+                c.dtype), None
+
+        c, _ = jax.lax.scan(body, x0, jnp.arange(n, dtype=jnp.int32))
+        return c
+
+    def run(n):
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _sync(loop(n, x))
+            d = time.perf_counter() - t0
+            best = d if best is None else min(best, d)
+        return best
+
+    n1, n2 = 48, 448
+    run(n1), run(n2)                     # compile both trip counts
+    return (run(n2) - run(n1)) / (n2 - n1)
+
+
+def report(name, sec):
+    print(f"{name}: {sec * 1e3:.3f} ms  "
+          f"{INT4_BYTES / sec / 1e9:.0f} GB/s effective", flush=True)
+
+
+def run_case(name, build, x, yref, yscale):
+    try:
+        fn = build()
+        y = np.asarray(fn(x, jnp.int32(0)), np.float32)[:4, :yref.shape[1]]
+        err = float(np.abs(y - yref).max() / yscale)
+        print(f"{name} rel err {err:.2e}", flush=True)
+        if err > 0.05:
+            print(f"{name} REJECTED (numerics)", flush=True)
+            return
+        report(name, timed(fn, x))
+    except Exception as e:  # noqa: BLE001
+        print(f"{name} FAILED: {type(e).__name__}: {repr(e)[:250]}",
+              flush=True)
 
 
 def main():
     rng = np.random.RandomState(0)
-    w = rng.randn(K, O).astype(np.float32) * 0.02
-    x = jnp.asarray(rng.randn(4, K), jnp.bfloat16)
+    W = rng.randn(L, K, O).astype(np.float32) * 0.02
+    x = jax.device_put(jnp.asarray(rng.randn(4, K), jnp.bfloat16))
 
-    from libra_tpu.ops.pallas.int4_matmul import int4_matmul, pack_int4
-    packed, scales = jax.jit(pack_int4)(w)
-    packed = jax.device_put(packed)
-    scales = jax.device_put(scales)
-    int4_bytes = K * O // 2
+    from libra_tpu.ops.pallas.int4_matmul import dequant_int4, pack_int4
 
-    # ---- A: shipped kernel -------------------------------------------------
-    sec = timed_loop(
-        lambda xx: int4_matmul(xx, packed, scales)[:, :K].astype(jnp.bfloat16)
-        if O >= K else xx, x)
-    report("A shipped packed-uint8", sec, int4_bytes)
+    packed = np.zeros((L, K // 2, O), np.uint8)
+    scales = np.zeros((L, K // GROUP, O), np.float32)
+    for li in range(L):
+        p, s = jax.jit(functools.partial(pack_int4, group=GROUP))(W[li])
+        packed[li], scales[li] = np.asarray(p), np.asarray(s)
+    packed_d = jax.device_put(jnp.asarray(packed))
+    scales_d = jax.device_put(jnp.asarray(scales))
+    w0 = np.asarray(jax.jit(functools.partial(dequant_int4, group=GROUP))(
+        packed_d[0], scales_d[0]), np.float32)
+    yref = np.asarray(x, np.float32)[:4] @ w0
+    yscale = max(np.abs(yref).max(), 1e-6)
 
-    # ---- B: native int4 ref ------------------------------------------------
-    q4 = jnp.asarray(
-        np.clip(np.round(w / np.asarray(
-            jnp.repeat(scales, GROUP, axis=0))), -8, 7), jnp.int4)
-    s_full = jax.device_put(scales.astype(jnp.float32))
+    def padx(xx):
+        return jnp.zeros((Bp, K), xx.dtype).at[:xx.shape[0]].set(xx)
 
-    def kernel_b(x_ref, w_ref, s_ref, o_ref, *, n_groups, gh):
-        wq = w_ref[...].astype(jnp.bfloat16)          # int4 -> bf16 cast
-        bo = wq.shape[-1]
-        s3 = s_ref[...].reshape(n_groups, 1, bo).astype(jnp.bfloat16)
-        wd = (wq.reshape(n_groups, 2 * gh, bo) * s3).reshape(
-            n_groups * 2 * gh, bo)
-        o_ref[...] = jax.lax.dot(
-            x_ref[...], wd, preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
+    def cost(flops_extra=0):
+        return pl.CostEstimate(flops=2 * Bp * K * O + flops_extra,
+                               bytes_accessed=INT4_BYTES + 4 * O * K // GROUP,
+                               transcendentals=0)
 
-    def int4_native(xx, block_o=512):
-        Bp = 8
-        xp = jnp.zeros((Bp, K), xx.dtype).at[:4].set(xx)
-        out = pl.pallas_call(
-            functools.partial(kernel_b, n_groups=K // GROUP, gh=GROUP // 2),
-            grid=(O // block_o,),
-            in_specs=[
-                pl.BlockSpec((Bp, K), lambda j: (0, 0)),
-                pl.BlockSpec((K, block_o), lambda j: (0, j)),
-                pl.BlockSpec((K // GROUP, block_o), lambda j: (0, j)),
-            ],
-            out_specs=pl.BlockSpec((Bp, block_o), lambda j: (0, j)),
-            out_shape=jax.ShapeDtypeStruct((Bp, O), jnp.float32),
-        )(xp, q4, s_full)
-        return out[:4]
+    # ---- A: shipped kernel, stacked via scalar prefetch ---------------------
+    def build_a():
+        n_groups, gh = K // GROUP, GROUP // 2
 
+        def kernel(idx_ref, xe_ref, xo_ref, wp_ref, s_ref, o_ref):
+            w32 = wp_ref[...].astype(jnp.int32)
+            lo = ((w32 & 15) ^ 8) - 8
+            hi = ((w32 >> 4) ^ 8) - 8
+            bo = lo.shape[-1]
+            s3 = s_ref[...].reshape(n_groups, 1, bo)
+            wl = (lo.reshape(n_groups, gh, bo) * s3).reshape(
+                n_groups * gh, bo)
+            wh = (hi.reshape(n_groups, gh, bo) * s3).reshape(
+                n_groups * gh, bo)
+            acc = jax.lax.dot(xe_ref[...], wl.astype(xe_ref.dtype),
+                              preferred_element_type=jnp.float32)
+            acc += jax.lax.dot(xo_ref[...], wh.astype(xo_ref.dtype),
+                               preferred_element_type=jnp.float32)
+            o_ref[...] = acc
+
+        def fn(xx, li, block_o=512):
+            xp = padx(xx)
+            gs = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(O // block_o,),
+                in_specs=[
+                    pl.BlockSpec((Bp, K // 2), lambda j, i: (0, 0)),
+                    pl.BlockSpec((Bp, K // 2), lambda j, i: (0, 0)),
+                    pl.BlockSpec((None, K // 2, block_o),
+                                 lambda j, i: (i[0], 0, j)),
+                    pl.BlockSpec((None, K // GROUP, block_o),
+                                 lambda j, i: (i[0], 0, j)),
+                ],
+                out_specs=pl.BlockSpec((Bp, block_o), lambda j, i: (0, j)))
+            return pl.pallas_call(
+                kernel, grid_spec=gs, cost_estimate=cost(),
+                out_shape=jax.ShapeDtypeStruct((Bp, O), jnp.float32),
+                interpret=INTERPRET,
+            )(jnp.asarray(li, jnp.int32).reshape(1),
+              xp[:, 0::2], xp[:, 1::2], packed_d, scales_d)
+
+        return fn
+
+    run_case("A shipped-unpack stacked", build_a, x, yref, yscale)
+
+    # ---- D: signed-byte pack, int32 shift+mask, bias-correction dot --------
+    q = np.zeros((L, K, O), np.int32)
+    for li in range(L):
+        q[li] = np.clip(np.round(W[li] / np.repeat(
+            scales[li], GROUP, axis=0)), -8, 7).astype(np.int32)
+    pk_d = jax.device_put(jnp.asarray(
+        ((q[:, 1::2] << 4) | (q[:, 0::2] + 8)).astype(np.int8)))
+
+    def build_d(wdt):
+        n_groups, gh = K // GROUP, GROUP // 2
+
+        def kernel(idx_ref, xe_ref, xo_ref, cg_ref, wp_ref, s_ref, o_ref):
+            w = wp_ref[...].astype(wdt)
+            lo = (w & 15).astype(jnp.bfloat16)          # u0 = q0 + 8
+            hi = (w >> 4).astype(jnp.bfloat16)          # q1 (arith shift)
+            bo = lo.shape[-1]
+            sbf = s_ref[...].astype(jnp.bfloat16)
+            s3 = sbf.reshape(n_groups, 1, bo)
+            wl = (lo.reshape(n_groups, gh, bo) * s3).reshape(
+                n_groups * gh, bo)
+            wh = (hi.reshape(n_groups, gh, bo) * s3).reshape(
+                n_groups * gh, bo)
+            acc = jax.lax.dot(xe_ref[...], wl,
+                              preferred_element_type=jnp.float32)
+            acc += jax.lax.dot(xo_ref[...], wh,
+                               preferred_element_type=jnp.float32)
+            # correction with the SAME bf16-rounded scales the dequant
+            # multiply used (an fp32-scale corr leaves a tiny bias)
+            corr = jax.lax.dot(cg_ref[...].astype(jnp.bfloat16), sbf,
+                               preferred_element_type=jnp.float32)
+            o_ref[...] = acc - 8.0 * corr
+
+        def fn(xx, li, block_o=512):
+            xp = padx(xx)
+            xe = xp[:, 0::2]
+            cg = jnp.sum(xe.reshape(Bp, K // GROUP, GROUP // 2).astype(
+                jnp.float32), axis=-1)
+            gs = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(O // block_o,),
+                in_specs=[
+                    pl.BlockSpec((Bp, K // 2), lambda j, i: (0, 0)),
+                    pl.BlockSpec((Bp, K // 2), lambda j, i: (0, 0)),
+                    pl.BlockSpec((Bp, K // GROUP), lambda j, i: (0, 0)),
+                    pl.BlockSpec((None, K // 2, block_o),
+                                 lambda j, i: (i[0], 0, j)),
+                    pl.BlockSpec((None, K // GROUP, block_o),
+                                 lambda j, i: (i[0], 0, j)),
+                ],
+                out_specs=pl.BlockSpec((Bp, block_o), lambda j, i: (0, j)))
+            return pl.pallas_call(
+                kernel, grid_spec=gs, cost_estimate=cost(),
+                out_shape=jax.ShapeDtypeStruct((Bp, O), jnp.float32),
+                interpret=INTERPRET,
+            )(jnp.asarray(li, jnp.int32).reshape(1),
+              xe, xp[:, 1::2], cg, pk_d, scales_d)
+
+        return fn
+
+    run_case("D signed-byte shift+mask i32",
+             lambda: build_d(jnp.int32), x, yref, yscale)
+
+    # ---- C: scale-on-accumulator, STATIC unrolled group loop ---------------
+    def build_c():
+        n_groups, gh = K // GROUP, GROUP // 2
+
+        def kernel(idx_ref, xe_ref, xo_ref, cg_ref, wp_ref, s_ref, o_ref):
+            w = wp_ref[...].astype(jnp.int32)
+            lo = (w & 15).astype(jnp.bfloat16)
+            hi = (w >> 4).astype(jnp.bfloat16)
+            bo = lo.shape[-1]
+            xe, xo = xe_ref[...], xo_ref[...]
+            s = s_ref[...]
+            acc = jnp.zeros((Bp, bo), jnp.float32)
+            for g in range(n_groups):                   # static unroll
+                d = jax.lax.dot(
+                    xe[:, g * gh:(g + 1) * gh], lo[g * gh:(g + 1) * gh],
+                    preferred_element_type=jnp.float32)
+                d += jax.lax.dot(
+                    xo[:, g * gh:(g + 1) * gh], hi[g * gh:(g + 1) * gh],
+                    preferred_element_type=jnp.float32)
+                acc += d * s[g:g + 1]
+            corr = jax.lax.dot(cg_ref[...], s,
+                               preferred_element_type=jnp.float32)
+            o_ref[...] = acc - 8.0 * corr
+
+        def fn(xx, li, block_o=512):
+            xp = padx(xx)
+            xe = xp[:, 0::2]
+            cg = jnp.sum(xe.reshape(Bp, K // GROUP, GROUP // 2).astype(
+                jnp.float32), axis=-1)
+            gs = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(O // block_o,),
+                in_specs=[
+                    pl.BlockSpec((Bp, K // 2), lambda j, i: (0, 0)),
+                    pl.BlockSpec((Bp, K // 2), lambda j, i: (0, 0)),
+                    pl.BlockSpec((Bp, K // GROUP), lambda j, i: (0, 0)),
+                    pl.BlockSpec((None, K // 2, block_o),
+                                 lambda j, i: (i[0], 0, j)),
+                    pl.BlockSpec((None, K // GROUP, block_o),
+                                 lambda j, i: (i[0], 0, j)),
+                ],
+                out_specs=pl.BlockSpec((Bp, block_o), lambda j, i: (0, j)))
+            return pl.pallas_call(
+                kernel, grid_spec=gs, cost_estimate=cost(),
+                out_shape=jax.ShapeDtypeStruct((Bp, O), jnp.float32),
+                interpret=INTERPRET,
+            )(jnp.asarray(li, jnp.int32).reshape(1),
+              xe, xp[:, 1::2], cg, pk_d, scales_d)
+
+        return fn
+
+    run_case("C unrolled groupdot", build_c, x, yref, yscale)
+
+    # ---- int8 reference (stacked, the production kernel) -------------------
+    from libra_tpu.ops.pallas.int8_matmul import int8_matmul
+    from libra_tpu.quantization import quantize_array
+
+    q8 = np.zeros((L, K, O), np.int8)
+    s8 = np.zeros((L, 1, O), np.float32)
+    for li in range(L):
+        qa = quantize_array(W[li], axis=0)
+        q8[li], s8[li] = qa.q, qa.scale
+    q8d, s8d = jax.device_put(jnp.asarray(q8)), jax.device_put(jnp.asarray(s8))
     try:
-        y = int4_native(x)
-        ref = (np.asarray(x, np.float32)
-               @ np.asarray(jax.jit(lambda: q4.astype(jnp.float32)
-                            * jnp.repeat(s_full, GROUP, axis=0))(),
-                            np.float32))
-        err = np.abs(np.asarray(y) - ref).max() / max(np.abs(ref).max(), 1e-6)
-        print(f"B native-int4 rel err {err:.2e}", flush=True)
-        sec = timed_loop(
-            lambda xx: int4_native(xx)[:, :K].astype(jnp.bfloat16), x)
-        report("B native int4 ref", sec, int4_bytes)
+        sec = timed(lambda xx, li: int8_matmul(xx, q8d, s8d, idx=li), x)
+        print(f"int8 kernel ref: {sec * 1e3:.3f} ms  "
+              f"{K * O / sec / 1e9:.0f} GB/s of int8 bytes", flush=True)
     except Exception as e:  # noqa: BLE001
-        print("B native int4 FAILED:", repr(e)[:300], flush=True)
+        print("int8 ref FAILED:", repr(e)[:200], flush=True)
 
-    # ---- C: accumulator-scaled group dots on packed uint8 ------------------
-    def kernel_c(xe_ref, xo_ref, wp_ref, s_ref, o_ref, *, n_groups, gh):
-        w16 = wp_ref[...].astype(jnp.int16)
-        lo = (((w16 & 15) ^ 8) - 8).astype(jnp.bfloat16)
-        hi = (((w16 >> 4) ^ 8) - 8).astype(jnp.bfloat16)
-        bo = lo.shape[-1]
-        acc = jnp.zeros((xe_ref.shape[0], bo), jnp.float32)
-
-        def body(g, acc):
-            sl = jax.lax.dynamic_slice(lo, (g * gh, 0), (gh, bo))
-            sh = jax.lax.dynamic_slice(hi, (g * gh, 0), (gh, bo))
-            xe = jax.lax.dynamic_slice(
-                xe_ref[...], (0, g * gh), (xe_ref.shape[0], gh))
-            xo = jax.lax.dynamic_slice(
-                xo_ref[...], (0, g * gh), (xo_ref.shape[0], gh))
-            d = (jax.lax.dot(xe, sl, preferred_element_type=jnp.float32)
-                 + jax.lax.dot(xo, sh, preferred_element_type=jnp.float32))
-            sg = jax.lax.dynamic_slice(s_ref[...], (g, 0), (1, bo))
-            return acc + d * sg
-
-        acc = jax.lax.fori_loop(0, n_groups, body, acc)
-        o_ref[...] = acc
-
-    def int4_groupdot(xx, block_o=512):
-        Bp = 8
-        xp = jnp.zeros((Bp, K), xx.dtype).at[:4].set(xx)
-        xe, xo = xp[:, 0::2], xp[:, 1::2]
-        out = pl.pallas_call(
-            functools.partial(kernel_c, n_groups=K // GROUP, gh=GROUP // 2),
-            grid=(O // block_o,),
-            in_specs=[
-                pl.BlockSpec((Bp, K // 2), lambda j: (0, 0)),
-                pl.BlockSpec((Bp, K // 2), lambda j: (0, 0)),
-                pl.BlockSpec((K // 2, block_o), lambda j: (0, j)),
-                pl.BlockSpec((K // GROUP, block_o), lambda j: (0, j)),
-            ],
-            out_specs=pl.BlockSpec((Bp, block_o), lambda j: (0, j)),
-            out_shape=jax.ShapeDtypeStruct((Bp, O), jnp.float32),
-        )(xe, xo, packed, scales.astype(jnp.float32))
-        return out[:4]
-
-    try:
-        y = int4_groupdot(x)
-        yA = int4_matmul(x, packed, scales)
-        err = (np.abs(np.asarray(y) - np.asarray(yA, np.float32)).max()
-               / max(np.abs(np.asarray(yA)).max(), 1e-6))
-        print(f"C groupdot rel err vs A {err:.2e}", flush=True)
-        sec = timed_loop(
-            lambda xx: int4_groupdot(xx)[:, :K].astype(jnp.bfloat16), x)
-        report("C groupdot packed-uint8", sec, int4_bytes)
-    except Exception as e:  # noqa: BLE001
-        print("C groupdot FAILED:", repr(e)[:300], flush=True)
+    # ---- D16: int16 shift+mask (Mosaic-crash risk: LAST) --------------------
+    run_case("D16 signed-byte shift+mask i16",
+             lambda: build_d(jnp.int16), x, yref, yscale)
 
 
 if __name__ == "__main__":
