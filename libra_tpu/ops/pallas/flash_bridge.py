@@ -254,19 +254,33 @@ def _bwd_kernel(q_ref, k_ref, v_ref, *rest, scale: float, use_bridge: bool):
 def _choose_block_q_bwd(nq: int) -> int:
     """Backward q-block: smaller than the forward's 256 -- the cell also
     holds the fp32 dk/dv accumulator blocks and the recomputed score
-    temps, so halve the q-extent to stay well inside VMEM."""
+    temps, so halve the q-extent to stay well inside VMEM. Ragged nq
+    (no divisor >= 16) is handled by zero-PADDING the q dim in _bwd_impl
+    rather than a full-dim block: a (698, Nk) fp32 score temp set would
+    not fit VMEM, while padded rows are mathematically inert (do rows of
+    zero give ds = p*(0 - 0) = 0, so no dk/dv/dq contribution)."""
     for b in (128, 64, 32, 16):
         if nq % b == 0:
             return b
-    return nq
+    return nq if nq <= 256 else 0          # 0 => pad to 128-multiple
 
 
 def _bwd_impl(q, k, v, kb, vb, cross, bias, out, do, interpret):
     B, Nq, H, d = q.shape
+    block_q = _choose_block_q_bwd(Nq)
+    if block_q == 0:
+        pad = (-Nq) % 128
+        zq = lambda x: jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))  # noqa: E731
+        q, out, do = zq(q), zq(out), zq(do)
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        if cross is not None:
+            cross = jnp.pad(cross, ((0, 0), (0, pad), (0, 0)))
+        grads = _bwd_impl(q, k, v, kb, vb, cross, bias, out, do, interpret)
+        return tuple(g[:, :Nq] if i == 0 else g
+                     for i, g in enumerate(grads))
     Nk = k.shape[1]
     use_bridge = kb is not None
     scale = 1.0 / (d ** 0.5)
-    block_q = _choose_block_q_bwd(Nq)
     grid = (B, H, Nq // block_q)
 
     q_spec = pl.BlockSpec((None, None, block_q, d),

@@ -104,6 +104,36 @@ def test_flash_bridge_grads_match_xla(use_bridge, nq, nk):
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_flash_bridge_grads_ragged_padded():
+    """Ragged Nq > 256 with no 16-divisor (the N=698-family train proxy
+    shape) takes the zero-padded backward (block 128); grads must still
+    match XLA autodiff exactly on the real rows."""
+    B, H, d, N = 1, 1, 8, 260
+    ks = jax.random.split(jax.random.PRNGKey(11), 4)
+    q = jax.random.normal(ks[0], (B, N, H, d))
+    k = jax.random.normal(ks[1], (B, N, H, d))
+    v = jax.random.normal(ks[2], (B, N, H, d))
+    flag = jax.random.bernoulli(ks[3], 0.5, (B, N))
+    bias = causal_bias(jnp.ones((B, N), jnp.int32), N, N)
+
+    def loss(fn, qq, kk, vv):
+        return jnp.sum(fn(qq, kk, vv) ** 2)
+
+    def flash(qq, kk, vv):
+        return flash_bridged_attention(qq, kk, vv, kk, vv, flag, flag,
+                                       bias, block_q=N, interpret=True)
+
+    def xla(qq, kk, vv):
+        return bridged_attention(AttentionInputs(qq, kk, vv, kk, vv),
+                                 flag, flag, bias)
+
+    got = jax.grad(functools.partial(loss, flash), argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(functools.partial(loss, xla), argnums=(0, 1, 2))(q, k, v)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=3e-4, atol=3e-4)
+
+
 def test_flash_bridge_fully_masked_row_grads():
     """A fully-masked query row (pad token at the causal origin) gets a
     ZERO score gradient from the fused backward -- NOT XLA autodiff's
