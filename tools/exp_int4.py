@@ -20,6 +20,11 @@ bench.bench_kernels):
   C. scale-on-accumulator with a STATIC unrolled group loop (the
      fori_loop + dynamic_slice version does not lower: "Unimplemented
      primitive ... dynamic_slice").
+
+  block_o MUST divide O: pallas grids floor, so block_o=512 at O=11008
+  (21.5 blocks) silently left the last 256 output columns unwritten --
+  every variant "failed numerics" by exactly that garbage tail until
+  block_o became 256 (the shipped kernels' _block_f handles this).
   B. native jnp.int4 storage was tried and is DEAD on axon: any
      host->device transfer or jit producing an S4 buffer recurses in
      the client (RecursionError in apply_primitive) -- not retried.
@@ -142,7 +147,7 @@ def main():
                                preferred_element_type=jnp.float32)
             o_ref[...] = acc
 
-        def fn(xx, li, block_o=512):
+        def fn(xx, li, block_o=256):
             xp = padx(xx)
             gs = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
@@ -199,7 +204,7 @@ def main():
                                preferred_element_type=jnp.float32)
             o_ref[...] = acc - 8.0 * corr
 
-        def fn(xx, li, block_o=512):
+        def fn(xx, li, block_o=256):
             xp = padx(xx)
             xe = xp[:, 0::2]
             cg = jnp.sum(xe.reshape(Bp, K // GROUP, GROUP // 2).astype(
@@ -253,7 +258,7 @@ def main():
                                preferred_element_type=jnp.float32)
             o_ref[...] = acc - 8.0 * corr
 
-        def fn(xx, li, block_o=512):
+        def fn(xx, li, block_o=256):
             xp = padx(xx)
             xe = xp[:, 0::2]
             cg = jnp.sum(xe.reshape(Bp, K // GROUP, GROUP // 2).astype(
