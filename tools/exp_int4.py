@@ -34,6 +34,7 @@ with an epsilon-weighted output dependence, best-of-3, two-point
 differencing. Run: python -m tools.exp_int4
 """
 import functools
+import sys
 import time
 
 import jax
@@ -101,6 +102,13 @@ def run_case(name, build, x, yref, yscale):
 
 
 def main():
+    # argv selects variants (default: all). e.g. `python -m tools.exp_int4
+    # int8 d16` reruns only the ones a killed session never measured.
+    only = {a.lower() for a in sys.argv[1:]}
+
+    def want(name):
+        return not only or name.lower() in only
+
     rng = np.random.RandomState(0)
     W = rng.randn(L, K, O).astype(np.float32) * 0.02
     x = jax.device_put(jnp.asarray(rng.randn(4, K), jnp.bfloat16))
@@ -170,7 +178,8 @@ def main():
 
         return fn
 
-    run_case("A shipped-unpack stacked", build_a, x, yref, yscale)
+    if want("a"):
+        run_case("A shipped-unpack stacked", build_a, x, yref, yscale)
 
     # ---- D: signed-byte pack, int32 shift+mask, bias-correction dot --------
     q = np.zeros((L, K, O), np.int32)
@@ -231,8 +240,9 @@ def main():
 
         return fn
 
-    run_case("D signed-byte shift+mask i32",
-             lambda: build_d(jnp.int32), x, yref, yscale)
+    if want("d"):
+        run_case("D signed-byte shift+mask i32",
+                 lambda: build_d(jnp.int32), x, yref, yscale)
 
     # ---- C: scale-on-accumulator, STATIC unrolled group loop ---------------
     def build_c():
@@ -285,7 +295,8 @@ def main():
 
         return fn
 
-    run_case("C unrolled groupdot", build_c, x, yref, yscale)
+    if want("c"):
+        run_case("C unrolled groupdot", build_c, x, yref, yscale)
 
     # ---- int8 reference (stacked, the production kernel) -------------------
     from libra_tpu.ops.pallas.int8_matmul import int8_matmul
@@ -297,16 +308,84 @@ def main():
         qa = quantize_array(W[li], axis=0)
         q8[li], s8[li] = qa.q, qa.scale
     q8d, s8d = jax.device_put(jnp.asarray(q8)), jax.device_put(jnp.asarray(s8))
-    try:
-        sec = timed(lambda xx, li: int8_matmul(xx, q8d, s8d, idx=li), x)
-        print(f"int8 kernel ref: {sec * 1e3:.3f} ms  "
-              f"{K * O / sec / 1e9:.0f} GB/s of int8 bytes", flush=True)
-    except Exception as e:  # noqa: BLE001
-        print("int8 ref FAILED:", repr(e)[:200], flush=True)
+    if want("int8"):
+        try:
+            sec = timed(lambda xx, li: int8_matmul(xx, q8d, s8d, idx=li), x)
+            print(f"int8 kernel ref: {sec * 1e3:.3f} ms  "
+                  f"{K * O / sec / 1e9:.0f} GB/s of int8 bytes", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print("int8 ref FAILED:", repr(e)[:200], flush=True)
+
+    # ---- E: W4A8 -- unpack stays int8, native s8xs8 MXU dots ----------------
+    # v5e advertises 2x int8 MXU rate (394 TOPS vs 197 TF bf16). If the
+    # int4 bound is the per-element int->bf16 convert feeding bf16 dots,
+    # unpacking to int8 (mask/shift only, no convert) and dotting
+    # s8xs8->s32 with a per-row dynamically-quantized activation should
+    # clear it. Group scales apply on the accumulator like C. Numerics
+    # cost: one more quantization (x to int8, per-row absmax).
+    def build_e():
+        n_groups, gh = K // GROUP, GROUP // 2
+
+        def kernel(idx_ref, xe_ref, xo_ref, cg_ref, xs_ref, wp_ref, s_ref,
+                   o_ref):
+            w = wp_ref[...]
+            lo = (w & 15).astype(jnp.int8)              # u0 = q0 + 8 in [0,16)
+            hi = (w >> 4).astype(jnp.int8)              # q1 (arith shift)
+            bo = lo.shape[-1]
+            xe, xo = xe_ref[...], xo_ref[...]
+            s = s_ref[...]
+            acc = jnp.zeros((Bp, bo), jnp.float32)
+            for g in range(n_groups):                   # static unroll
+                d = jax.lax.dot(
+                    xe[:, g * gh:(g + 1) * gh], lo[g * gh:(g + 1) * gh],
+                    preferred_element_type=jnp.int32)
+                d += jax.lax.dot(
+                    xo[:, g * gh:(g + 1) * gh], hi[g * gh:(g + 1) * gh],
+                    preferred_element_type=jnp.int32)
+                acc += d.astype(jnp.float32) * s[g:g + 1]
+            corr = jax.lax.dot(cg_ref[...], s,
+                               preferred_element_type=jnp.float32)
+            o_ref[...] = (acc - 8.0 * corr) * xs_ref[...]
+
+        def fn(xx, li, block_o=256):
+            xp = padx(xx)
+            xf = xp.astype(jnp.float32)
+            xabs = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+            xs = jnp.where(xabs > 0, xabs / 127.0, 1.0)
+            xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+            xe = xq[:, 0::2]
+            cg = jnp.sum(xe.reshape(Bp, K // GROUP, GROUP // 2).astype(
+                jnp.float32), axis=-1)
+            gs = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(O // block_o,),
+                in_specs=[
+                    pl.BlockSpec((Bp, K // 2), lambda j, i: (0, 0)),
+                    pl.BlockSpec((Bp, K // 2), lambda j, i: (0, 0)),
+                    pl.BlockSpec((Bp, K // GROUP), lambda j, i: (0, 0)),
+                    pl.BlockSpec((Bp, 1), lambda j, i: (0, 0)),
+                    pl.BlockSpec((None, K // 2, block_o),
+                                 lambda j, i: (i[0], 0, j)),
+                    pl.BlockSpec((None, K // GROUP, block_o),
+                                 lambda j, i: (i[0], 0, j)),
+                ],
+                out_specs=pl.BlockSpec((Bp, block_o), lambda j, i: (0, j)))
+            return pl.pallas_call(
+                kernel, grid_spec=gs, cost_estimate=cost(),
+                out_shape=jax.ShapeDtypeStruct((Bp, O), jnp.float32),
+                interpret=INTERPRET,
+            )(jnp.asarray(li, jnp.int32).reshape(1),
+              xe, xq[:, 1::2], cg, xs, pk_d, scales_d)
+
+        return fn
+
+    if want("e"):
+        run_case("E w4a8 s8xs8 MXU dots", build_e, x, yref, yscale)
 
     # ---- D16: int16 shift+mask (Mosaic-crash risk: LAST) --------------------
-    run_case("D16 signed-byte shift+mask i16",
-             lambda: build_d(jnp.int16), x, yref, yscale)
+    if want("d16"):
+        run_case("D16 signed-byte shift+mask i16",
+                 lambda: build_d(jnp.int16), x, yref, yscale)
 
 
 if __name__ == "__main__":
