@@ -197,10 +197,11 @@ def bench_vqa_fused(num_layers=8, B=1, text_len=32):
     return ttft, tok_s
 
 
-def _device_quantized_params(cfg):
-    """Build a full int8-quantized param tree DIRECTLY on the device:
+def _device_quantized_params(cfg, bits=8):
+    """Build a full quantized param tree DIRECTLY on the device:
     shipping ~9.4 GB of host weights through the TPU tunnel would take
-    minutes; values are throughput-irrelevant.
+    minutes; values are throughput-irrelevant. bits=4: the int4 serving
+    tree (group-int4 projections, int8 embeddings).
 
     The tree STRUCTURE comes from jax.eval_shape of the real
     quantize_params (so bottleneck padding, bridge bf16-skip and scale
@@ -214,10 +215,12 @@ def _device_quantized_params(cfg):
     import jax.numpy as jnp
 
     from libra_tpu.models import libra as M
-    from libra_tpu.quantization import QuantizedArray, quantize_params
+    from libra_tpu.quantization import (Quantized4Array, QuantizedArray,
+                                        quantize_params)
 
     shapes = jax.eval_shape(lambda: quantize_params(
-        M.init_params(jax.random.PRNGKey(0), cfg)))
+        M.init_params(jax.random.PRNGKey(0), cfg), bits=bits))
+    qtypes = (QuantizedArray, Quantized4Array)
 
     @functools.lru_cache(maxsize=None)
     def q_init(shape):
@@ -232,6 +235,12 @@ def _device_quantized_params(cfg):
     counter = [0]
 
     def build(s):
+        if isinstance(s, Quantized4Array):
+            counter[0] += 1
+            p = q_init(s.packed.shape)(jax.random.fold_in(key, counter[0]))
+            return Quantized4Array(
+                p, full_init(s.scale.shape, jnp.float32, 0.02 / 7)(),
+                s.group)
         if isinstance(s, QuantizedArray):
             counter[0] += 1
             q = q_init(s.q.shape)(jax.random.fold_in(key, counter[0]))
@@ -240,7 +249,7 @@ def _device_quantized_params(cfg):
         return full_init(s.shape, s.dtype, 0.02)()
 
     return jax.tree_util.tree_map(
-        build, shapes, is_leaf=lambda x: isinstance(x, QuantizedArray))
+        build, shapes, is_leaf=lambda x: isinstance(x, qtypes))
 
 
 # Measured single-chip streaming bandwidth (bf16 matvec chain, overhead-
@@ -259,17 +268,20 @@ def _decode_roofline(cfg, params, B, S, lang_only=False):
     signal_proj) -- the same partition as the freeze policy."""
     import jax
 
-    from libra_tpu.quantization import QuantizedArray
+    from libra_tpu.quantization import Quantized4Array, QuantizedArray
 
     skip = ("embed",)
     if lang_only:
         skip += ("vision", "bridge", "signal_proj", "signal_norm")
     weight_bytes = 0
     for path, leaf in jax.tree_util.tree_leaves_with_path(
-            params, is_leaf=lambda x: isinstance(x, QuantizedArray)):
+            params, is_leaf=lambda x: isinstance(
+                x, (QuantizedArray, Quantized4Array))):
         if any(s in str(path) for s in skip):
             continue
-        if isinstance(leaf, QuantizedArray):
+        if isinstance(leaf, Quantized4Array):
+            weight_bytes += leaf.packed.size + leaf.scale.size * 4
+        elif isinstance(leaf, QuantizedArray):
             weight_bytes += leaf.q.size + leaf.scale.size * 4
         else:
             weight_bytes += leaf.size * leaf.dtype.itemsize
@@ -279,7 +291,8 @@ def _decode_roofline(cfg, params, B, S, lang_only=False):
     return weight_bytes, kv_bytes
 
 
-def bench_decode_full_int8(B=4, text_len=32, max_new=64, text_decode=True):
+def bench_decode_full_int8(B=4, text_len=32, max_new=64, text_decode=True,
+                           bits=8):
     """THE north-star shape: the FULL 32-layer 11B flagship, weight-only
     int8 + int8 KV cache, single chip, batched greedy decode. bf16 cannot
     do this at all (~18 GB > 16 GB HBM); int8 weights are ~9.4 GB, and the
@@ -288,7 +301,12 @@ def bench_decode_full_int8(B=4, text_len=32, max_new=64, text_decode=True):
     Decode matmuls stream through the fused Pallas int8 kernel
     (ops/pallas/int8_matmul.py) -- weights stay int8 in HBM and dequantize
     in VMEM into the MXU feed. Also returns a bytes-moved roofline: tokens/s
-    is bounded by (weights + KV bytes per step) / achievable bandwidth."""
+    is bounded by (weights + KV bytes per step) / achievable bandwidth.
+
+    bits=4: the int4 serving mode (group-int4 projections through
+    ops/pallas/int4_matmul, embeddings int8) -- weight bytes halve again;
+    decode is weight-bandwidth-bound, so this is the speed-of-light lever
+    (VERDICT r4 item 3)."""
     import jax
 
     from libra_tpu.generation import GenerationConfig, Generator
@@ -297,7 +315,7 @@ def bench_decode_full_int8(B=4, text_len=32, max_new=64, text_decode=True):
     import jax.numpy as jnp
 
     cfg = _flagship_cfg(32)
-    params = _device_quantized_params(cfg)
+    params = _device_quantized_params(cfg, bits=bits)
     ids, mask, vi, sig = _example_batch(cfg, B=B, text_len=text_len)
     # text-only decode IS the north-star shape: BASELINE configs 3-4 decode
     # text answers (captioning/VQA), and the -inf vision-vocab assembly
@@ -1063,8 +1081,8 @@ def bench_kernels():
     q8 = jnp.asarray(rng.randint(-127, 128, (L, K, F)).astype(np.int8))
     s8 = jnp.full((L, 1, F), 1 / 127, jnp.float32)
     wb = (q8.astype(jnp.bfloat16) / 127)
-    w1 = np.asarray(wb[0], np.float32)
-    p4, s4 = pack_int4(w1)                 # int4 kernel: 2D form only
+    # stacked int4 pack ON DEVICE (a host pack would stage 1.4 GB back)
+    p4, s4 = jax.jit(lambda w: pack_int4(w.astype(jnp.float32)))(wb)
 
     # single compiled program looping the op N times; two-point
     # differencing cancels dispatch overhead and compile/hoist constants
@@ -1099,7 +1117,9 @@ def bench_kernels():
         lambda x, i, q, s: jnp.einsum(
             "mk,kf->mf", x, (q[i] * s[i]).astype(jnp.bfloat16)), q8, s8)
     t_bf16 = timed(lambda x, i, w: jnp.einsum("mk,kf->mf", x, w[i]), wb)
-    t_int4 = timed(lambda x, i, p, s: int4_matmul(x, p, s), p4, s4)
+    t_int4 = timed(lambda x, i, p, s: int4_matmul(x, p, s, idx=i), p4, s4)
+    t_w4a8 = timed(lambda x, i, p, s: int4_matmul(x, p, s, idx=i, a8=True),
+                   p4, s4)
     nbytes = K * F
     return {
         "matvec_int8_pallas_ms": round(t_int8 * 1e3, 3),
@@ -1108,6 +1128,8 @@ def bench_kernels():
         "matvec_bf16_ms": round(t_bf16 * 1e3, 3),
         "matvec_int4_ms": round(t_int4 * 1e3, 3),
         "matvec_int4_gb_s": round(nbytes / 2 / t_int4 / 1e9, 1),
+        "matvec_w4a8_ms": round(t_w4a8 * 1e3, 3),
+        "matvec_w4a8_gb_s": round(nbytes / 2 / t_w4a8 / 1e9, 1),
     }
 
 
@@ -1143,6 +1165,12 @@ _STAGES = {
         "decode_full32_tok_s": round(r[0], 2),
         "decode_full32_wall_s": round(r[1], 3), **r[2]})(
             bench_decode_full_int8()), 1500),
+    # int4 serving mode on the same north-star shape: group-int4
+    # projections (ops/pallas/int4_matmul), weight bytes halve again
+    "decode_full32_int4": (lambda: (lambda r: {
+        "decode4_full32_tok_s": round(r[0], 2),
+        **{"decode4" + k[len("decode"):]: v for k, v in r[2].items()}})(
+            bench_decode_full_int8(bits=4)), 2400),
     "spec_decode": (lambda: bench_spec_decode(), 2400),
     "vqa_full32": (lambda: _vqa_stage(), 2400),
     "serving": (lambda: bench_serving(), 2700),
@@ -1214,7 +1242,8 @@ _HEADLINE = (
     "serving8_tok_s", "serving8_rps2.0_p50_ttft_ms",
     "chat_turn1_ttft_ms", "chat_turn2_ttft_ms",
     "train_step_tok_s", "train_mfu",
-    "matvec_int8_pallas_gb_s", "matvec_int4_gb_s",
+    "matvec_int8_pallas_gb_s", "matvec_int4_gb_s", "matvec_w4a8_gb_s",
+    "decode4_full32_tok_s", "decode4_pct_of_sol",
     "train_compile_8chip_fsdp8_peak_hbm_gb",
 )
 

@@ -1,62 +1,96 @@
-"""Fused int4 weight-only matmul Pallas kernel.
+"""Fused int4 weight-streaming matmul Pallas kernels (group-quantized).
 
-Weights are packed two int4 values per uint8 byte ALONG K (row 2k in the
-low nibble, row 2k+1 in the high nibble) with per-(group, out-channel)
-scales, group size G along K. The kernel unpacks and dequantizes one
-(K/2, block_o) tile entirely in VMEM and runs two MXU dots (even-k and
-odd-k halves against the caller-split activations), so HBM weight traffic
-is the int4 byte count -- XLA cannot do this (a jnp unpack materialises
-int8/bf16 weights in HBM and measured 4.6x SLOWER than int8).
+Weights are packed two int4 values per SIGNED int8 byte along K
+(byte = (q[2k+1] << 4) | (q[2k] + 8), so unpack is ONE arithmetic shift
+for the high nibble and ONE mask for the low nibble -- no xor/sub
+sign-extension) with per-(group, out-channel) scales, group size G along
+K. The kernel unpacks one (K/2, block_o) tile in VMEM and accumulates
+per-group MXU dots with the group scale applied to the ACCUMULATOR
+(exact: the scale is constant along each group's contraction slice).
+The low nibble carries a +8 bias; it is removed by one cheap correction
+dot: acc -= 8 * (per-group sums of x_even) @ scales.
 
-Numerics: symmetric int4, q in [-8, 7], w ~= q * scale, scale = amax/7.
+Two compute modes:
+  * weight-only (default): nibbles upcast to bf16, bf16 x bf16 MXU dots
+    with fp32 accumulation -- same numerics class as dequant-then-matmul
+    (rel err ~ the int4 quantization error itself, ~5e-3 on Gaussian
+    weights at G=128).
+  * a8=True (W4A8): activations are per-row dynamically quantized to
+    int8 outside the kernel and the dots run native s8 x s8 -> s32 on
+    the MXU (2x the bf16 MXU rate on v5e, and no per-element int->bf16
+    convert on the weight side). Adds the standard ~0.7% a8 error.
 
-STATUS -- MEMORY-ONLY, measured (r3, 1xv5e, (4096, 11008) decode matvec,
-bench.py kernels stage): int4 0.070 ms vs fused int8 0.060 ms vs bf16
-0.129 ms. The VPU nibble-unpack dominates, holding int4 at ~321 GB/s of
-effective int4 bytes while the int8 kernel streams 749 GB/s -- so int4
-HALVES weight memory but does NOT beat int8 tokens/s at decode batch
-sizes. Restructurings tried and rejected: all-8-bit unpack (crashes the
-Mosaic compiler), int8-pair dot trick (no nibble separation exists
-through a single dot). Use int8 for speed; int4 only when the model
-must fit a smaller HBM budget.
+Measured (r5, 1xv5e, STACKED (8, 4096, 11008) decode matvec, rotating
+layer index -- tools/exp_int4.py):
+  variant A (old uint8 xor/sub unpack, dequant-multiply):  305 GB/s eff.
+  variant D (signed-byte unpack, dequant-multiply):        297 GB/s eff.
+  variant C (signed-byte unpack, scale-on-accumulator):    382 GB/s eff.
+    == this module's weight-only kernel. int8 kernel ref:  ~704 GB/s of
+  int8 bytes, i.e. C already beats int8 WALL-TIME (0.059 vs 0.064 ms)
+  at half the weight memory. The W4A8 mode is the candidate to close
+  the remaining gap to the int4 roofline (see tools/exp_int4.py E).
+
+Semantics anchor: streams the reference decoder's projection weights
+(modeling_libra.py:363-397, LibraMLP) in the serving int4 mode; layout
+is libra_tpu.quantization.Quantized4Array.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM budget for one packed weight tile (double-buffered by the grid
+# pipeline; same convention as int8_matmul).
+_TILE_BYTES = 2 * 1024 * 1024
+
+
+def _block_o(Kh: int, O: int) -> int:
+    bo = _TILE_BYTES // Kh
+    bo = max(128, (bo // 128) * 128)
+    while O % bo:
+        bo //= 2
+    return max(bo, 128)
 
 
 def pack_int4(w, group: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """w: (..., K, O) float -> (packed (..., K/2, O) uint8,
-    scales (..., K/group, O) float32)."""
-    w = jnp.asarray(w)
+    """w: (..., K, O) float -> (packed (..., K/2, O) int8,
+    scales (..., K/group, O) float32).
+
+    Symmetric int4 per (group, out-channel): q in [-8, 7], scale =
+    group-amax / 7. Signed-byte layout: byte = (q_odd << 4) | (q_even+8),
+    value-exact in int8 (16*q1 + q0 + 8 in [-128, 127]). numpy inputs
+    stay on the host (checkpoint-scale packing must not round-trip the
+    device); jax inputs use jnp (traceable)."""
+    is_np = isinstance(w, np.ndarray)
+    xp = np if is_np else jnp
     K, O = w.shape[-2:]
     if K % group or group % 2:
         raise ValueError(
             f"K={K} must be divisible by group={group}, group must be even")
     gshape = w.shape[:-2] + (K // group, group, O)
-    amax = jnp.max(jnp.abs(w.reshape(gshape)), axis=-2, keepdims=True)
-    scale = jnp.where(amax > 0, amax, 1.0).astype(jnp.float32) / 7.0
-    q = jnp.clip(jnp.round(w.reshape(gshape) / scale), -8, 7)
-    q = q.reshape(w.shape).astype(jnp.int32)
-    lo = q[..., 0::2, :] & 15            # two's-complement low nibble
-    hi = (q[..., 1::2, :] & 15) << 4
-    packed = (lo | hi).astype(jnp.uint8)
-    return packed, scale[..., 0, :]
+    wg = w.reshape(gshape)
+    amax = xp.max(xp.abs(wg), axis=-2, keepdims=True)
+    scale = xp.where(amax > 0, amax, 1.0).astype(np.float32) / 7.0
+    q = xp.clip(xp.round(wg / scale), -8, 7).astype(np.int32)
+    q = q.reshape(w.shape)
+    packed = ((q[..., 1::2, :] << 4) | (q[..., 0::2, :] + 8)).astype(np.int8)
+    return packed, scale.reshape(
+        w.shape[:-2] + (K // group, O)).astype(np.float32)
 
 
-def dequant_int4(packed: jnp.ndarray, scales: jnp.ndarray,
-                 group: int = 128, dtype=jnp.float32) -> jnp.ndarray:
-    """Reference unpack (used by tests and the CPU fallback path)."""
-    p = packed.astype(jnp.int32)
-    lo = ((p & 15) ^ 8) - 8              # sign-extend 4-bit
-    hi = ((p >> 4) ^ 8) - 8
+def dequant_int4(packed, scales, group: int = 128,
+                 dtype=jnp.float32) -> jnp.ndarray:
+    """Reference unpack (tests and the XLA/CPU fallback path)."""
+    p = packed.astype(jnp.int32)         # sign-extends the int8 byte
+    lo = (p & 15) - 8                    # q_even
+    hi = p >> 4                          # q_odd (arithmetic shift)
     Kh, O = packed.shape[-2:]
     w = jnp.stack([lo, hi], axis=-2)     # (..., Kh, 2, O)
     w = w.reshape(packed.shape[:-2] + (Kh * 2, O))
@@ -64,59 +98,149 @@ def dequant_int4(packed: jnp.ndarray, scales: jnp.ndarray,
     return (w * s).astype(dtype)
 
 
-def _kernel(xe_ref, xo_ref, wp_ref, s_ref, o_ref, *, n_groups: int,
-            gh: int):
-    # xe/xo: (B, K/2) bf16; wp: (K/2, bo) uint8; s: (n_groups, bo) f32.
-    # NOTE: the int32 widening below is deliberate -- an all-8-bit unpack
-    # variant crashed the Mosaic TPU compiler; this version compiles and
-    # runs at ~0.30 ms for a (4096, 11008) matmul on v5e (HBM-roofline for
-    # int4 would be ~0.08 ms; the VPU unpack dominates, so int4 currently
-    # MATCHES int8-dequant-in-XLA speed while halving weight memory).
-    w32 = wp_ref[...].astype(jnp.int32)
-    lo = ((w32 & 15) ^ 8) - 8                       # (Kh, bo) in [-8, 7]
-    hi = ((w32 >> 4) ^ 8) - 8
+def _unpack_nibbles(w_i8, out_dtype):
+    """(Kh, bo) int8 -> (lo = q_even + 8, hi = q_odd) in out_dtype.
+    int32 widen first: the measured-fastest lowering (int16 lanes crash
+    the remote Mosaic compiler; see tools/exp_int4.py D16)."""
+    w = w_i8.astype(jnp.int32)
+    return (w & 15).astype(out_dtype), (w >> 4).astype(out_dtype)
+
+
+def _kernel(xe_ref, xo_ref, cg_ref, wp_ref, s_ref, o_ref, *,
+            n_groups: int, gh: int, a8: bool):
+    lo, hi = _unpack_nibbles(wp_ref[...],
+                             jnp.int8 if a8 else jnp.bfloat16)
     bo = lo.shape[-1]
-    s3 = s_ref[...].reshape(n_groups, 1, bo)
-    wl = (lo.reshape(n_groups, gh, bo) * s3).reshape(n_groups * gh, bo)
-    wh = (hi.reshape(n_groups, gh, bo) * s3).reshape(n_groups * gh, bo)
-    acc = jax.lax.dot(xe_ref[...], wl.astype(xe_ref.dtype),
-                      preferred_element_type=jnp.float32)
-    acc = acc + jax.lax.dot(xo_ref[...], wh.astype(xo_ref.dtype),
-                            preferred_element_type=jnp.float32)
-    o_ref[...] = acc.astype(o_ref.dtype)
+    xe, xo = xe_ref[...], xo_ref[...]
+    s = s_ref[...]
+    Mp = xe.shape[0]
+    acc = jnp.zeros((Mp, bo), jnp.float32)
+    pet = jnp.int32 if a8 else jnp.float32
+    for g in range(n_groups):            # static unroll (fori_loop +
+        sl = slice(g * gh, (g + 1) * gh)  # dynamic_slice does not lower)
+        d = jax.lax.dot(xe[:, sl], lo[sl], preferred_element_type=pet)
+        d += jax.lax.dot(xo[:, sl], hi[sl], preferred_element_type=pet)
+        acc += d.astype(jnp.float32) * s[g:g + 1]
+    corr = jax.lax.dot(cg_ref[...], s, preferred_element_type=jnp.float32)
+    o_ref[...] = acc - 8.0 * corr
 
 
+def _kernel_stacked(idx_ref, xe_ref, xo_ref, cg_ref, wp_ref, s_ref, o_ref,
+                    **kw):
+    del idx_ref                           # consumed by the index_maps
+    _kernel(xe_ref, xo_ref, cg_ref, wp_ref, s_ref, o_ref, **kw)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("group", "a8", "interpret"))
 def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
-                group: int = 128, block_o: int = 512,
-                interpret: bool = False) -> jax.Array:
-    """x: (B, K) -> (B, O) with packed (K/2, O) uint8, scales (K/G, O).
+                group: int = 128, idx: Optional[jax.Array] = None,
+                a8: bool = False, interpret: bool = False) -> jax.Array:
+    """x @ dequant(packed, scales) for group-quantized int4 weights.
 
-    B is padded to the bf16 sublane tile (8) inside; out dtype = x dtype.
-    """
-    B, K = x.shape
-    Kh, O = packed.shape
-    assert Kh * 2 == K, (x.shape, packed.shape)
+    Two forms (mirroring int8_matmul):
+      * packed (K/2, O), scales (K/G, O): plain matmul;
+      * packed (L, K/2, O), scales (L, K/G, O) with `idx`: layer `idx`
+        of a STACKED weight, DMA'd straight from the stacked HBM buffer
+        via scalar-prefetched index_maps (the lax.scan decode path).
+
+    x: (..., K); returns (..., O) in x.dtype. a8=True runs W4A8 (see
+    module docstring)."""
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    Kh, O = packed.shape[-2:]
     n_groups = K // group
-    gh = group // 2                      # packed rows per group
-    if O % block_o:
-        block_o = O if O < block_o else max(
-            b for b in (128, 256, 512) if O % b == 0)
+    gh = group // 2
+    assert Kh * 2 == K and scales.shape[-2:] == (n_groups, O), \
+        (x.shape, packed.shape, scales.shape)
+    assert K % (2 * group) == 0 and Kh % 128 == 0 and O % 128 == 0, \
+        (K, group, O)
 
-    Bp = max(8, -(-B // 8) * 8)
-    xp = jnp.zeros((Bp, K), x.dtype).at[:B].set(x)
-    xe, xo = xp[:, 0::2], xp[:, 1::2]    # (Bp, Kh)
+    xm = x.reshape(-1, K)
+    M = xm.shape[0]
+    if a8:
+        # per-row dynamic activation quantization (outside the kernel --
+        # it is O(M*K) elementwise, trivially fused by XLA)
+        xf = xm.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        xs = jnp.where(amax > 0, amax, 1.0) / 127.0
+        xm = jnp.round(xf / xs).astype(jnp.int8)
+        Mp = max(32, -(-M // 32) * 32)   # int8 sublane tile
+    else:
+        xm = xm.astype(jnp.bfloat16)
+        Mp = max(16, -(-M // 16) * 16)   # bf16 sublane tile
+    if Mp != M:
+        xm = jnp.pad(xm, ((0, Mp - M), (0, 0)))
+    xe, xo = xm[:, 0::2], xm[:, 1::2]    # (Mp, Kh)
+    # +8-bias correction operand: per-group sums of x_even
+    cg = jnp.sum(xe.reshape(Mp, n_groups, gh).astype(jnp.float32), axis=-1)
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, n_groups=n_groups, gh=gh),
-        grid=(O // block_o,),
-        in_specs=[
-            pl.BlockSpec((Bp, Kh), lambda j: (0, 0)),
-            pl.BlockSpec((Bp, Kh), lambda j: (0, 0)),
-            pl.BlockSpec((Kh, block_o), lambda j: (0, j)),
-            pl.BlockSpec((n_groups, block_o), lambda j: (0, j)),
-        ],
-        out_specs=pl.BlockSpec((Bp, block_o), lambda j: (0, j)),
-        out_shape=jax.ShapeDtypeStruct((Bp, O), x.dtype),
-        interpret=interpret,
-    )(xe, xo, packed, scales)
-    return out[:B]
+    bo = _block_o(Kh, O)
+    kern = functools.partial(_kernel if idx is None else _kernel_stacked,
+                             n_groups=n_groups, gh=gh, a8=a8)
+    cost = pl.CostEstimate(
+        flops=2 * Mp * K * O,
+        bytes_accessed=Kh * O + 4 * n_groups * O + 2 * Mp * (K + 2 * O),
+        transcendentals=0)
+    out_shape = jax.ShapeDtypeStruct((Mp, O), jnp.float32)
+
+    if idx is None:
+        assert packed.ndim == 2
+        out = pl.pallas_call(
+            kern,
+            grid=(O // bo,),
+            in_specs=[
+                pl.BlockSpec((Mp, Kh), lambda j: (0, 0)),
+                pl.BlockSpec((Mp, Kh), lambda j: (0, 0)),
+                pl.BlockSpec((Mp, n_groups), lambda j: (0, 0)),
+                pl.BlockSpec((Kh, bo), lambda j: (0, j)),
+                pl.BlockSpec((n_groups, bo), lambda j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((Mp, bo), lambda j: (0, j)),
+            out_shape=out_shape,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(xe, xo, cg, packed, scales)
+    else:
+        assert packed.ndim == 3
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(O // bo,),
+            in_specs=[
+                pl.BlockSpec((Mp, Kh), lambda j, i: (0, 0)),
+                pl.BlockSpec((Mp, Kh), lambda j, i: (0, 0)),
+                pl.BlockSpec((Mp, n_groups), lambda j, i: (0, 0)),
+                pl.BlockSpec((None, Kh, bo), lambda j, i: (i[0], 0, j)),
+                pl.BlockSpec((None, n_groups, bo), lambda j, i: (i[0], 0, j)),
+            ],
+            out_specs=pl.BlockSpec((Mp, bo), lambda j, i: (0, j)))
+        out = pl.pallas_call(
+            kern,
+            grid_spec=gs,
+            out_shape=out_shape,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(jnp.asarray(idx, jnp.int32).reshape(1), xe, xo, cg, packed, scales)
+    out = out[:M]
+    if a8:
+        out = out * xs                   # (M, 1) per-row activation scale
+    return out.reshape(lead + (O,)).astype(x.dtype)
+
+
+def supports(x, packed, scales, group: int) -> bool:
+    """Shape/layout gate (same contract as int8_matmul.supports): 2D or
+    stacked-3D packed weight with matching group scales, MXU-aligned
+    dims (K % max(2G, 256) == 0, O % 128 == 0), small-M left operand.
+    Unsupported shapes take the XLA dequant einsum fallback."""
+    if packed.ndim not in (2, 3) or scales.ndim != packed.ndim:
+        return False
+    Kh, O = packed.shape[-2:]
+    K = 2 * Kh
+    if K % group or scales.shape[-2:] != (K // group, O):
+        return False
+    if K % (2 * group) or Kh % 128 or O % 128:
+        return False
+    if x.shape[-1] != K:
+        return False
+    M = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+    return M <= 160

@@ -84,19 +84,31 @@ def kernel_active() -> bool:
 
 def qdot(x: jax.Array, w) -> jax.Array:
     """x @ w -> (..., F). w: plain (K, F) array, QuantizedArray with
-    per-out-channel scales (scale (1, F)), or a LayerView of a stacked
-    quantized weight."""
-    from libra_tpu.quantization import LayerView, QuantizedArray
+    per-out-channel scales (scale (1, F)), Quantized4Array with group
+    scales, or a LayerView of a stacked quantized weight."""
+    from libra_tpu.quantization import (LayerView, Quantized4Array,
+                                        QuantizedArray)
 
+    q4 = w.qa if isinstance(w, LayerView) and isinstance(
+        w.qa, Quantized4Array) else (w if isinstance(w, Quantized4Array)
+                                     else None)
+    if q4 is not None and kernel_active():
+        from libra_tpu.ops.pallas import int4_matmul as i4
+        if i4.supports(x, q4.packed, q4.scale, q4.group):
+            idx = w.idx if isinstance(w, LayerView) else None
+            return i4.int4_matmul(x, q4.packed, q4.scale, group=q4.group,
+                                  idx=idx)
     if kernel_active() and isinstance(w, (QuantizedArray, LayerView)):
         from libra_tpu.ops.pallas.int8_matmul import int8_matmul, supports
         if isinstance(w, LayerView):
             qa = w.qa
-            if supports(x, qa.q, qa.scale):
+            if isinstance(qa, QuantizedArray) \
+                    and supports(x, qa.q, qa.scale):
                 return int8_matmul(x, qa.q, qa.scale, idx=w.idx)
         elif supports(x, w.q, w.scale):
             return int8_matmul(x, w.q, w.scale)
-    if _A8_ENABLED.get() and isinstance(w, (QuantizedArray, LayerView)):
+    if _A8_ENABLED.get() and (isinstance(w, QuantizedArray) or (
+            isinstance(w, LayerView) and isinstance(w.qa, QuantizedArray))):
         if isinstance(w, LayerView):
             q, s = w.qa.q[w.idx], w.qa.scale[w.idx]
         else:

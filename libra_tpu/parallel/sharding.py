@@ -110,9 +110,9 @@ def param_specs(params: Any) -> Any:
     def visit(path, leaf):
         keys = _path_keys(path)
         layered = "layers" in keys
-        if keys and keys[-1] in ("q", "scale"):
+        if keys and keys[-1] in ("q", "packed", "scale"):
             base = _spec_for("/".join(keys[:-1]), leaf.ndim, layered)
-            if keys[-1] == "q":
+            if keys[-1] in ("q", "packed"):
                 return base
             axes = [None if leaf.shape[d] == 1 else base[d]
                     for d in range(leaf.ndim)]

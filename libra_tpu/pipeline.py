@@ -74,11 +74,14 @@ class LibraPipeline:
 
     @classmethod
     def from_pretrained(cls, path: str, mesh=None,
-                        quantize: bool = False) -> "LibraPipeline":
-        """quantize=True: weight-only int8 (libra_tpu.quantization) -- the
-        full 11B fits a single v5e chip (~9.4 GB) and decodes ~1.3x faster
-        per byte of HBM. Composes with mesh TP (int8 shards over the
-        "model" axis like the plain weights)."""
+                        quantize=False) -> "LibraPipeline":
+        """quantize=True (or "int8"): weight-only int8
+        (libra_tpu.quantization) -- the full 11B fits a single v5e chip
+        (~9.4 GB) and decodes ~1.3x faster per byte of HBM. Composes with
+        mesh TP (int8 shards over the "model" axis like the plain
+        weights). quantize="int4": group-int4 projections (half the int8
+        bytes again; decode is weight-bandwidth-bound) with embeddings/
+        heads staying int8."""
         from libra_tpu import checkpoint as ckpt
         from libra_tpu.models import libra as M  # noqa: F401
         from libra_tpu.tokenization import HFTextTokenizer, ImageTokenizer
@@ -107,7 +110,8 @@ class LibraPipeline:
                                          vq_ckpt)))
         if quantize:
             from libra_tpu.quantization import quantize_params
-            params = quantize_params(params)   # composes with mesh TP
+            params = quantize_params(
+                params, bits=4 if quantize == "int4" else 8)
         return cls(cfg, params, LibraTokenizer(text_tok, img_tok), mesh=mesh)
 
     # -- inference ----------------------------------------------------------

@@ -71,8 +71,59 @@ class QuantizedArray:
         return f"QuantizedArray(q={self.q.shape}, scale={self.scale.shape})"
 
 
+@jax.tree_util.register_pytree_with_keys_class
+class Quantized4Array:
+    """Group-quantized int4 weight: signed-byte packed nibbles (see
+    ops/pallas/int4_matmul) + per-(group, out-channel) float scales.
+    packed (..., K/2, O) int8, scale (..., K/group, O) f32. Duck-types
+    `.astype(dt)` like QuantizedArray; consumed by qdot through the
+    fused int4 Pallas kernel on TPU, dequant-einsum elsewhere."""
+
+    def __init__(self, packed, scale, group: int = 128):
+        self.packed = packed
+        self.scale = scale
+        self.group = group
+
+    def tree_flatten_with_keys(self):
+        K = jax.tree_util.GetAttrKey
+        return ((K("packed"), self.packed),
+                (K("scale"), self.scale)), self.group
+
+    def tree_flatten(self):
+        return (self.packed, self.scale), self.group
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, group=aux)
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        s = self.packed.shape
+        return s[:-2] + (2 * s[-2], s[-1])
+
+    @property
+    def ndim(self) -> int:
+        return self.packed.ndim
+
+    @property
+    def dtype(self):
+        return self.scale.dtype
+
+    def astype(self, dt):
+        from libra_tpu.ops.pallas.int4_matmul import dequant_int4
+        return dequant_int4(self.packed, self.scale, self.group, dt)
+
+    def __getitem__(self, idx):
+        return Quantized4Array(self.packed[idx], self.scale[idx], self.group)
+
+    def __repr__(self):
+        return (f"Quantized4Array(packed={self.packed.shape}, "
+                f"scale={self.scale.shape}, group={self.group})")
+
+
 class LayerView:
-    """Zero-copy view of layer `idx` of a STACKED (L, ...) QuantizedArray.
+    """Zero-copy view of layer `idx` of a STACKED (L, ...) quantized
+    array (QuantizedArray or Quantized4Array).
 
     Built inside the layer scan body instead of slicing: a sliced int8
     weight feeding an (XLA-opaque) pallas_call would materialise a copy of
@@ -83,25 +134,24 @@ class LayerView:
     before.
     """
 
-    def __init__(self, qa: QuantizedArray, idx):
+    def __init__(self, qa, idx):
         self.qa = qa
         self.idx = idx
 
     @property
     def shape(self) -> Tuple[int, ...]:
-        return self.qa.q.shape[1:]
+        return self.qa.shape[1:]
 
     @property
     def ndim(self) -> int:
-        return self.qa.q.ndim - 1
+        return self.qa.ndim - 1
 
     @property
     def dtype(self):
-        return self.qa.scale.dtype
+        return self.qa.dtype
 
     def astype(self, dt):
-        return (self.qa.q[self.idx].astype(dt)
-                * self.qa.scale[self.idx].astype(dt))
+        return self.qa[self.idx].astype(dt)
 
 
 def quantize_array(w, axis: int) -> QuantizedArray:
@@ -158,8 +208,35 @@ def _pad_axis(w, axis: int, pad: int):
     return jnp.pad(w, widths)
 
 
-def quantize_params(params: Any, min_elems: int = 1 << 16) -> Any:
+def quantize_array_int4(w, group: int = 128) -> Quantized4Array:
+    """Symmetric group-int4 for x @ W leaves (contracting axis -2):
+    scale = group-amax/7 per (group, out-channel). Host numpy stays on
+    the host, like quantize_array."""
+    from libra_tpu.ops.pallas.int4_matmul import pack_int4
+    packed, scale = pack_int4(w, group=group)
+    return Quantized4Array(packed, scale, group)
+
+
+def _int4_ok(leaf, axis: int, group: int) -> bool:
+    """int4 only helps leaves the fused kernel can stream: x @ W shapes
+    (axis -2) with K % max(2*group, 256) == 0 and O % 128 == 0 (stacked
+    or plain). Everything else stays int8."""
+    if axis != -2:
+        return False                     # per-row embedding gathers
+    K, O = leaf.shape[-2], leaf.shape[-1]
+    return (K % group == 0 and K % (2 * group) == 0 and (K // 2) % 128 == 0
+            and O % 128 == 0)
+
+
+def quantize_params(params: Any, min_elems: int = 1 << 16,
+                    bits: int = 8, group: int = 128) -> Any:
     """Quantize every float matrix leaf with >= min_elems elements.
+
+    bits=4 (serving opt-in): x @ W projection leaves that the fused int4
+    kernel can stream become Quantized4Array (group-int4, half the int8
+    bytes -- decode is weight-bandwidth-bound, so bytes are tokens/s);
+    embeddings and kernel-incompatible shapes stay int8. bits=8 is the
+    default weight-only int8 mode.
 
     Norm gains, small placeholders etc. stay in their original dtype
     (quantizing them saves nothing and costs accuracy). Stacked layer
@@ -184,6 +261,8 @@ def quantize_params(params: Any, min_elems: int = 1 << 16) -> Any:
         axis = _leaf_axis(name, leaf)
         if axis is None:
             return leaf
+        if bits == 4 and _int4_ok(leaf, axis, group):
+            return quantize_array_int4(leaf, group)
         return quantize_array(leaf, axis)
 
     def visit(path, node):
@@ -196,7 +275,8 @@ def quantize_params(params: Any, min_elems: int = 1 << 16) -> Any:
                 return node
             if inner < 128:
                 return node                      # bridges: keep bf16/f32
-            pad = -inner % 128
+            # int4 needs K % 2*group; pad the bottleneck up accordingly
+            pad = -inner % (2 * group if bits == 4 else 128)
             if pad:
                 wa = _pad_axis(wa, -1, pad)
                 wb = _pad_axis(wb, -2, pad)
@@ -208,25 +288,28 @@ def quantize_params(params: Any, min_elems: int = 1 << 16) -> Any:
                                             is_leaf=_is_low_rank_pair)
 
 
+_QTYPES = (QuantizedArray, Quantized4Array)
+
+
 def dequantize_params(params: Any, dtype=jnp.float32) -> Any:
     """Materialise a plain pytree (for checkpoint export / debugging)."""
     def visit(leaf):
-        if isinstance(leaf, QuantizedArray):
+        if isinstance(leaf, _QTYPES):
             return leaf.astype(dtype)
         return leaf
 
     return jax.tree_util.tree_map(
-        visit, params, is_leaf=lambda x: isinstance(x, QuantizedArray))
+        visit, params, is_leaf=lambda x: isinstance(x, _QTYPES))
 
 
 def quantization_error(params: Any, quantized: Any) -> float:
     """Max relative per-tensor dequantization error (diagnostics)."""
     orig = jax.tree_util.tree_leaves(params)
     quant = jax.tree_util.tree_leaves(
-        quantized, is_leaf=lambda x: isinstance(x, QuantizedArray))
+        quantized, is_leaf=lambda x: isinstance(x, _QTYPES))
     errs = []
     for o, q in zip(orig, quant):
-        if isinstance(q, QuantizedArray):
+        if isinstance(q, _QTYPES):
             w = jnp.asarray(o, jnp.float32)
             d = q.astype(jnp.float32)
             errs.append(float(jnp.max(jnp.abs(w - d))

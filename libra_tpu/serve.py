@@ -322,8 +322,11 @@ def main(argv=None):
     ap.add_argument("--prompt-bucket", type=int, default=128)
     ap.add_argument("--decode-chunk", type=int, default=8)
     ap.add_argument("--max-new-default", type=int, default=256)
-    ap.add_argument("--quantize", action="store_true",
-                    help="weight-only int8")
+    ap.add_argument("--quantize", nargs="?", const=True, default=False,
+                    choices=[True, False, "int8", "int4"],
+                    help="weight-only quantization: bare flag or 'int8' = "
+                         "per-channel int8; 'int4' = group-int4 projections "
+                         "(embeddings/heads stay int8)")
     ap.add_argument("--kv-quant", action="store_true", help="int8 KV cache")
     ap.add_argument("--a8-prefill", action="store_true",
                     help="w8a8 prompt pass (needs --quantize)")

@@ -199,33 +199,50 @@ def test_flash_bridge_grad_under_jit_and_bool_flags():
 
 
 def test_int4_matmul_interpret():
-    """int4 pack/dequant bounds and kernel parity (interpret mode)."""
+    """int4 pack/dequant bounds and kernel parity (interpret mode):
+    signed-byte layout, +8-bias correction, plain + stacked forms."""
     import jax
     import jax.numpy as jnp
     from libra_tpu.ops.pallas.int4_matmul import (dequant_int4, int4_matmul,
-                                                  pack_int4)
+                                                  pack_int4, supports)
 
     rng = np.random.RandomState(0)
     w = rng.randn(256, 384).astype(np.float32)
     p, s = pack_int4(w, group=64)
-    assert p.dtype == jnp.uint8 and p.shape == (128, 384)
+    assert p.dtype == jnp.int8 and p.shape == (128, 384)
     assert s.shape == (4, 384)
     wd = np.asarray(dequant_int4(p, s, group=64))
     err = np.abs(wd - w).reshape(4, 64, 384)
     amax = np.abs(w.reshape(4, 64, 384)).max(1, keepdims=True)
     assert (err <= amax / 14 + 1e-6).all()
 
-    wd16 = dequant_int4(p, s, group=64, dtype=jnp.bfloat16)
     x = jnp.asarray(rng.randn(3, 256), jnp.bfloat16)
-    xe, xo = x[:, 0::2], x[:, 1::2]
-    want = (jax.lax.dot(xe, wd16[0::2],
-                        preferred_element_type=jnp.float32)
-            + jax.lax.dot(xo, wd16[1::2],
-                          preferred_element_type=jnp.float32))
-    got = int4_matmul(x, p, s, group=64, block_o=128, interpret=True)
-    np.testing.assert_allclose(
-        np.asarray(got, np.float32), np.asarray(want),
-        rtol=1e-2, atol=1e-2)   # output is bf16
+    want = np.asarray(x, np.float32) @ wd
+    got = int4_matmul(x, jnp.asarray(p), jnp.asarray(s), group=64,
+                      interpret=True)
+    assert supports(x, p, s, 64)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               rtol=2e-2, atol=2e-2)    # bf16 dots/output
+
+    # stacked (L, K/2, O) + scalar-prefetched layer index
+    w2 = rng.randn(256, 384).astype(np.float32)
+    p2, s2 = pack_int4(w2, group=64)
+    pst = jnp.stack([jnp.asarray(p), jnp.asarray(p2)])
+    sst = jnp.stack([jnp.asarray(s), jnp.asarray(s2)])
+    for li, wref in ((0, wd), (1, np.asarray(dequant_int4(p2, s2,
+                                                          group=64)))):
+        got = int4_matmul(x, pst, sst, group=64, idx=jnp.int32(li),
+                          interpret=True)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(x, np.float32) @ wref,
+                                   rtol=2e-2, atol=2e-2)
+
+    # W4A8 mode: adds per-row int8 activation quantization (~0.7% budget)
+    got8 = int4_matmul(x, jnp.asarray(p), jnp.asarray(s), group=64,
+                       a8=True, interpret=True)
+    ref = np.asarray(x, np.float32) @ wd
+    denom = max(np.abs(ref).max(), 1e-6)
+    assert np.abs(np.asarray(got8, np.float32) - ref).max() / denom < 0.03
 
 
 def test_int8_matmul_interpret():

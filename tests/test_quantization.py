@@ -424,3 +424,97 @@ def test_a8_prefill_generation_close():
     s_on = np.asarray(res_on.sequences)
     assert s_on.shape == s_off.shape
     assert (s_on == s_off).mean() > 0.8, (s_on, s_off)
+
+
+# ---------------------------------------------------------------------------
+# int4 (group-quantized) serving mode
+# ---------------------------------------------------------------------------
+
+def test_quantize_params_int4_selective():
+    """bits=4: kernel-streamable x @ W leaves become Quantized4Array
+    (stacked projections carry per-(layer, group, out) scales); embeddings
+    (per-row gathers) and kernel-incompatible shapes stay int8."""
+    from libra_tpu.quantization import Quantized4Array
+
+    cfg = LibraConfig.tiny(hidden_size=256, intermediate_size=256,
+                           num_attention_heads=2)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_params(params, min_elems=64, bits=4, group=64)
+
+    qp = qparams["layers"]["attn"]["q_proj"]
+    assert isinstance(qp, Quantized4Array)
+    L, D = cfg.num_hidden_layers, cfg.hidden_size
+    assert qp.packed.shape == (L, D // 2, D)
+    assert qp.scale.shape == (L, D // 64, D)
+    # embeddings: per-row int8 (gather consumers can't stream int4)
+    assert isinstance(qparams["embed_tokens"], QuantizedArray)
+    assert not isinstance(qparams["embed_tokens"], Quantized4Array)
+    # tiny default dims (64) are not int4-streamable -> int8 fallback
+    tiny = LibraConfig.tiny()
+    tparams = quantize_params(M.init_params(jax.random.PRNGKey(0), tiny),
+                              min_elems=64, bits=4, group=64)
+    tq = tparams["layers"]["attn"]["q_proj"]
+    assert isinstance(tq, QuantizedArray) and not isinstance(
+        tq, Quantized4Array)
+    assert quantization_error(params, qparams) < 0.15  # int4: amax/14
+
+
+def test_int4_generation_matches_dequantized():
+    """f32 generation from the int4 tree is bit-identical to generation
+    from its dequantized plain tree (storage-only difference on the CPU
+    fallback path -- the kernel path is covered by
+    test_pallas_kernels.py::test_int4_matmul_interpret)."""
+    from libra_tpu.quantization import Quantized4Array
+
+    cfg = LibraConfig.tiny(hidden_size=256, intermediate_size=256,
+                           num_attention_heads=2)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_params(params, min_elems=64, bits=4, group=64)
+    assert any(isinstance(x, Quantized4Array)
+               for x in jax.tree_util.tree_leaves(
+                   qparams, is_leaf=lambda x: isinstance(x, Quantized4Array)))
+    dparams = dequantize_params(qparams, jnp.float32)
+
+    ids, mask, vi, sig = make_inputs(cfg, B=2)
+    inputs = {"input_ids": ids, "attention_mask": mask,
+              "vision_indices": vi, "coninous_signal": sig}
+    gen = GenerationConfig(max_new_tokens=6, eos_token_id=-1)
+    res_q = Generator(qparams, cfg)(inputs, gen)
+    res_d = Generator(dparams, cfg)(inputs, gen)
+    np.testing.assert_array_equal(np.asarray(res_q.sequences),
+                                  np.asarray(res_d.sequences))
+
+
+def test_flagship_decode_matmuls_all_int4_supported():
+    """In the int4 serving mode every flagship decode projection passes
+    the fused int4 kernel's supports() gate (the 2752 vision bottleneck
+    pads to 2816, which is 256-aligned); embeddings stay int8 per-row.
+    eval_shape only."""
+    from libra_tpu.ops.pallas.int4_matmul import supports
+    from libra_tpu.quantization import Quantized4Array
+
+    cfg = LibraConfig()          # full 11B dims
+    shapes = jax.eval_shape(lambda: quantize_params(
+        M.init_params(jax.random.PRNGKey(0), cfg), bits=4))
+
+    def decode_x(K):
+        return jax.ShapeDtypeStruct((4, K), jnp.bfloat16)
+
+    checked = []
+    for path, leaf in jax.tree_util.tree_leaves_with_path(
+            shapes["layers"],
+            is_leaf=lambda x: isinstance(x, (QuantizedArray,
+                                             Quantized4Array))):
+        if not isinstance(leaf, Quantized4Array):
+            continue
+        K = 2 * leaf.packed.shape[-2]
+        assert supports(decode_x(K), leaf.packed, leaf.scale, leaf.group), \
+            (path, leaf)
+        checked.append(jax.tree_util.keystr(path))
+    assert len(checked) == 21, checked   # 7 full-rank + 14 low-rank factors
+    for name in ("signal_proj", "lm_head"):
+        leaf = shapes[name]
+        assert isinstance(leaf, Quantized4Array), name
+        assert supports(decode_x(2 * leaf.packed.shape[-2]),
+                        leaf.packed, leaf.scale, leaf.group), name
+    assert isinstance(shapes["embed_tokens"], QuantizedArray)

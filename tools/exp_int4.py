@@ -115,11 +115,8 @@ def main():
 
     from libra_tpu.ops.pallas.int4_matmul import dequant_int4, pack_int4
 
-    packed = np.zeros((L, K // 2, O), np.uint8)
-    scales = np.zeros((L, K // GROUP, O), np.float32)
-    for li in range(L):
-        p, s = jax.jit(functools.partial(pack_int4, group=GROUP))(W[li])
-        packed[li], scales[li] = np.asarray(p), np.asarray(s)
+    # production signed-byte layout (host-side pack)
+    packed, scales = pack_int4(W, group=GROUP)
     packed_d = jax.device_put(jnp.asarray(packed))
     scales_d = jax.device_put(jnp.asarray(scales))
     w0 = np.asarray(jax.jit(functools.partial(dequant_int4, group=GROUP))(
@@ -135,51 +132,19 @@ def main():
                                bytes_accessed=INT4_BYTES + 4 * O * K // GROUP,
                                transcendentals=0)
 
-    # ---- A: shipped kernel, stacked via scalar prefetch ---------------------
-    def build_a():
-        n_groups, gh = K // GROUP, GROUP // 2
+    # ---- PROD: the production kernel (ops/pallas/int4_matmul) --------------
+    from libra_tpu.ops.pallas.int4_matmul import int4_matmul
 
-        def kernel(idx_ref, xe_ref, xo_ref, wp_ref, s_ref, o_ref):
-            w32 = wp_ref[...].astype(jnp.int32)
-            lo = ((w32 & 15) ^ 8) - 8
-            hi = ((w32 >> 4) ^ 8) - 8
-            bo = lo.shape[-1]
-            s3 = s_ref[...].reshape(n_groups, 1, bo)
-            wl = (lo.reshape(n_groups, gh, bo) * s3).reshape(
-                n_groups * gh, bo)
-            wh = (hi.reshape(n_groups, gh, bo) * s3).reshape(
-                n_groups * gh, bo)
-            acc = jax.lax.dot(xe_ref[...], wl.astype(xe_ref.dtype),
-                              preferred_element_type=jnp.float32)
-            acc += jax.lax.dot(xo_ref[...], wh.astype(xo_ref.dtype),
-                               preferred_element_type=jnp.float32)
-            o_ref[...] = acc
-
-        def fn(xx, li, block_o=256):
-            xp = padx(xx)
-            gs = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(O // block_o,),
-                in_specs=[
-                    pl.BlockSpec((Bp, K // 2), lambda j, i: (0, 0)),
-                    pl.BlockSpec((Bp, K // 2), lambda j, i: (0, 0)),
-                    pl.BlockSpec((None, K // 2, block_o),
-                                 lambda j, i: (i[0], 0, j)),
-                    pl.BlockSpec((None, K // GROUP, block_o),
-                                 lambda j, i: (i[0], 0, j)),
-                ],
-                out_specs=pl.BlockSpec((Bp, block_o), lambda j, i: (0, j)))
-            return pl.pallas_call(
-                kernel, grid_spec=gs, cost_estimate=cost(),
-                out_shape=jax.ShapeDtypeStruct((Bp, O), jnp.float32),
-                interpret=INTERPRET,
-            )(jnp.asarray(li, jnp.int32).reshape(1),
-              xp[:, 0::2], xp[:, 1::2], packed_d, scales_d)
-
-        return fn
-
-    if want("a"):
-        run_case("A shipped-unpack stacked", build_a, x, yref, yscale)
+    if want("prod"):
+        run_case("PROD weight-only stacked",
+                 lambda: (lambda xx, li: int4_matmul(
+                     xx, packed_d, scales_d, group=GROUP, idx=li)),
+                 x, yref, yscale)
+    if want("prod8"):
+        run_case("PROD w4a8 stacked",
+                 lambda: (lambda xx, li: int4_matmul(
+                     xx, packed_d, scales_d, group=GROUP, idx=li, a8=True)),
+                 x, yref, yscale)
 
     # ---- D: signed-byte pack, int32 shift+mask, bias-correction dot --------
     q = np.zeros((L, K, O), np.int32)
