@@ -1165,12 +1165,6 @@ _STAGES = {
         "decode_full32_tok_s": round(r[0], 2),
         "decode_full32_wall_s": round(r[1], 3), **r[2]})(
             bench_decode_full_int8()), 1500),
-    # int4 serving mode on the same north-star shape: group-int4
-    # projections (ops/pallas/int4_matmul), weight bytes halve again
-    "decode_full32_int4": (lambda: (lambda r: {
-        "decode4_full32_tok_s": round(r[0], 2),
-        **{"decode4" + k[len("decode"):]: v for k, v in r[2].items()}})(
-            bench_decode_full_int8(bits=4)), 2400),
     "spec_decode": (lambda: bench_spec_decode(), 2400),
     "vqa_full32": (lambda: _vqa_stage(), 2400),
     "serving": (lambda: bench_serving(), 2700),
@@ -1187,6 +1181,14 @@ _STAGES = {
                               B=8, n_requests=32, group_cap=4,
                               rps_points=(2.0, 2.5)).items()}, 2700),
     "chat": (lambda: bench_chat_multiturn(), 1500),
+    # int4 serving mode on the north-star decode shape: group-int4
+    # projections (ops/pallas/int4_matmul), weight bytes halve again.
+    # Ordered LATE: a Mosaic crash on the full-32 int4 compile must not
+    # wedge the tunnel before the proven stages have run.
+    "decode_full32_int4": (lambda: (lambda r: {
+        "decode4_full32_tok_s": round(r[0], 2),
+        **{"decode4" + k[len("decode"):]: v for k, v in r[2].items()}})(
+            bench_decode_full_int8(bits=4)), 2400),
     "train_step": (lambda: dict(zip(
         ("train_step_tok_s", "train_mfu", "train_mfu_legacy6x"),
         (lambda r: (round(r[0], 1), round(r[1], 4), round(r[2], 4)))(

@@ -149,6 +149,7 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
     lead = x.shape[:-1]
     K = x.shape[-1]
     Kh, O = packed.shape[-2:]
+    scales = scales.astype(jnp.float32)
     n_groups = K // group
     gh = group // 2
     assert Kh * 2 == K and scales.shape[-2:] == (n_groups, O), \

@@ -692,3 +692,25 @@ def test_engine_merged_mixed_with_pixels_fallback(tiny):
     N = base.input_ids.shape[-1]
     np.testing.assert_array_equal(
         results[2].tokens, np.asarray(want.sequences)[:, 0, N:])
+
+
+def test_engine_int4_weights(tiny):
+    """Group-int4 weight tree (quantize='int4' serving mode) through the
+    engine: must match a Generator run with the SAME int4 tree (identical
+    dequant math -> identical tokens). Uses 256-wide dims so projections
+    actually become Quantized4Array (tiny 64-dim shapes fall back to
+    int8)."""
+    from libra_tpu.quantization import Quantized4Array, quantize_params
+
+    cfg = LibraConfig.tiny(hidden_size=256, intermediate_size=256,
+                           num_attention_heads=2)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_params(params, min_elems=0, bits=4, group=64)
+    assert isinstance(qparams["layers"]["attn"]["q_proj"], Quantized4Array)
+    gen = GenerationConfig(eos_token_id=-1, kv_quant=True)
+    pairs = _requests(cfg, 3)
+    eng = ServingEngine(qparams, cfg, max_batch=2, max_len=64, gen=gen)
+    results = eng.run([r for r, _ in pairs])
+    g = Generator(qparams, cfg)
+    _check_parity(results, pairs, params, cfg, gen_kw={"kv_quant": True},
+                  gen=g)
