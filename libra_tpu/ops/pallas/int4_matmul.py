@@ -169,7 +169,10 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
         Mp = max(32, -(-M // 32) * 32)   # int8 sublane tile
     else:
         xm = xm.astype(jnp.bfloat16)
-        Mp = max(16, -(-M // 16) * 16)   # bf16 sublane tile
+        # 8-row blocks measured 15% faster than 16 at decode M (Mosaic
+        # handles the sub-sublane block; tools/exp_int4.py C: 384 vs 334
+        # GB/s effective)
+        Mp = 8 if M <= 8 else max(16, -(-M // 16) * 16)
     if Mp != M:
         xm = jnp.pad(xm, ((0, Mp - M), (0, 0)))
     xe, xo = xm[:, 0::2], xm[:, 1::2]    # (Mp, Kh)

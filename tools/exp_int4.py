@@ -347,6 +347,164 @@ def main():
     if want("e"):
         run_case("E w4a8 s8xs8 MXU dots", build_e, x, yref, yscale)
 
+    # ---- H: E-structure (s8 dots) but int32-widen unpack, custom Bp ---------
+    # disambiguates E's Mosaic crash: int8 x at 8-row blocks vs the
+    # int8-domain shift/mask. H(8) lowering => the unpack was the crash.
+    def build_h(bp, i8mask=False):
+        n_groups, gh = K // GROUP, GROUP // 2
+
+        def kernel(idx_ref, xe_ref, xo_ref, cg_ref, xs_ref, wp_ref, s_ref,
+                   o_ref):
+            if i8mask:
+                w = wp_ref[...]
+                lo = w & 15                             # int8 domain
+                hi = w >> 4
+            else:
+                w32 = wp_ref[...].astype(jnp.int32)
+                lo = (w32 & 15).astype(jnp.int8)
+                hi = (w32 >> 4).astype(jnp.int8)
+            bo = lo.shape[-1]
+            xe, xo = xe_ref[...], xo_ref[...]
+            s = s_ref[...]
+            acc = jnp.zeros((bp, bo), jnp.float32)
+            for g in range(n_groups):
+                d = jax.lax.dot(
+                    xe[:, g * gh:(g + 1) * gh], lo[g * gh:(g + 1) * gh],
+                    preferred_element_type=jnp.int32)
+                d += jax.lax.dot(
+                    xo[:, g * gh:(g + 1) * gh], hi[g * gh:(g + 1) * gh],
+                    preferred_element_type=jnp.int32)
+                acc += d.astype(jnp.float32) * s[g:g + 1]
+            corr = jax.lax.dot(cg_ref[...], s,
+                               preferred_element_type=jnp.float32)
+            o_ref[...] = (acc - 8.0 * corr) * xs_ref[...]
+
+        return _a8_fn(kernel, bp)
+
+    # ---- F: raw-byte third-dot -- only the LOW nibble is ever unpacked -----
+    # b = 16*q1 + u0 (u0 = q0+8), so xo@q1 = (xo@b - xo@u0) / 16 exactly
+    # in int32. Unpack VPU work drops from ~5 ops/byte (mask+shift+2
+    # narrows) to ~3 (widen+mask+narrow); the extra per-group dot is MXU
+    # time, which is not the bound. y = sum_g s_g [xe@u0 - 8*sum(xe) +
+    # (xo@b - xo@u0)/16].
+    def build_f(bp, i8mask=False):
+        n_groups, gh = K // GROUP, GROUP // 2
+
+        def kernel(idx_ref, xe_ref, xo_ref, cg_ref, xs_ref, wp_ref, s_ref,
+                   o_ref):
+            b = wp_ref[...]
+            if i8mask:
+                u0 = b & 15                             # int8 domain
+            else:
+                u0 = (b.astype(jnp.int32) & 15).astype(jnp.int8)
+            bo = u0.shape[-1]
+            xe, xo = xe_ref[...], xo_ref[...]
+            s = s_ref[...]
+            acc = jnp.zeros((bp, bo), jnp.float32)
+            for g in range(n_groups):
+                sl = slice(g * gh, (g + 1) * gh)
+                d0 = jax.lax.dot(xe[:, sl], u0[sl],
+                                 preferred_element_type=jnp.int32)
+                d1 = jax.lax.dot(xo[:, sl], u0[sl],
+                                 preferred_element_type=jnp.int32)
+                d2 = jax.lax.dot(xo[:, sl], b[sl],
+                                 preferred_element_type=jnp.int32)
+                acc += (d0.astype(jnp.float32)
+                        + (d2 - d1).astype(jnp.float32) * 0.0625) * s[g:g + 1]
+            corr = jax.lax.dot(cg_ref[...], s,
+                               preferred_element_type=jnp.float32)
+            o_ref[...] = (acc - 8.0 * corr) * xs_ref[...]
+
+        return _a8_fn(kernel, bp)
+
+    def _a8_fn(kernel, bp, block_o=256):
+        n_groups = K // GROUP
+
+        def fn(xx, li):
+            xp = jnp.zeros((bp, K), jnp.float32).at[:xx.shape[0]].set(
+                xx.astype(jnp.float32))
+            xabs = jnp.max(jnp.abs(xp), axis=1, keepdims=True)
+            xs = jnp.where(xabs > 0, xabs / 127.0, 1.0)
+            xq = jnp.clip(jnp.round(xp / xs), -127, 127).astype(jnp.int8)
+            xe = xq[:, 0::2]
+            cg = jnp.sum(xe.reshape(bp, n_groups, GROUP // 2).astype(
+                jnp.float32), axis=-1)
+            gs = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(O // block_o,),
+                in_specs=[
+                    pl.BlockSpec((bp, K // 2), lambda j, i: (0, 0)),
+                    pl.BlockSpec((bp, K // 2), lambda j, i: (0, 0)),
+                    pl.BlockSpec((bp, n_groups), lambda j, i: (0, 0)),
+                    pl.BlockSpec((bp, 1), lambda j, i: (0, 0)),
+                    pl.BlockSpec((None, K // 2, block_o),
+                                 lambda j, i: (i[0], 0, j)),
+                    pl.BlockSpec((None, K // GROUP, block_o),
+                                 lambda j, i: (i[0], 0, j)),
+                ],
+                out_specs=pl.BlockSpec((bp, block_o), lambda j, i: (0, j)))
+            return pl.pallas_call(
+                kernel, grid_spec=gs, cost_estimate=cost(),
+                out_shape=jax.ShapeDtypeStruct((bp, O), jnp.float32),
+                interpret=INTERPRET,
+            )(jnp.asarray(li, jnp.int32).reshape(1),
+              xe, xq[:, 1::2], cg, xs, pk_d, scales_d)
+
+        return fn
+
+    if want("h8"):
+        run_case("H w4a8 i32-unpack bp8", lambda: build_h(8), x, yref, yscale)
+    if want("f8"):
+        run_case("F raw-byte 3dot bp8", lambda: build_f(8), x, yref, yscale)
+    if want("f32r"):
+        run_case("F raw-byte 3dot bp32", lambda: build_f(32), x, yref,
+                 yscale)
+    # int8-DOMAIN mask variants: Mosaic-crash risk, always LAST
+    if want("fm8"):
+        run_case("F raw-byte 3dot bp8 i8mask",
+                 lambda: build_f(8, i8mask=True), x, yref, yscale)
+
+    # ---- P<G>: production kernel at LARGER group sizes ----------------------
+    # F ~= H ~= C says the bound is NOT unpack op count. Next suspect: the
+    # 64 tiny depth-64 dots per block (gh = G/2 = 64 rows of MXU feed per
+    # dot, 2 dots x 32 groups). Bigger G halves/quarters the dot count and
+    # doubles the contraction depth per dot at a small quantization-error
+    # cost. G=2048 (2 groups, depth-1024 dots) is the limit case: if THAT
+    # does not move, dots are not the bound either.
+    def prod_g(g, a8):
+        pk, sc = pack_int4(W, group=g)
+        pk = jax.device_put(jnp.asarray(pk))
+        sc = jax.device_put(jnp.asarray(sc))
+        return lambda xx, li: int4_matmul(xx, pk, sc, group=g, idx=li, a8=a8)
+
+    for g in (256, 512, 2048):
+        if want(f"p{g}"):
+            run_case(f"P{g} prod weight-only G={g}",
+                     lambda g=g: prod_g(g, False), x, yref, yscale)
+        if want(f"p{g}a"):
+            run_case(f"P{g}a prod w4a8 G={g}",
+                     lambda g=g: prod_g(g, True), x, yref, yscale)
+
+    # ---- PAD: O padded to 11264 -> block_o 1024, 11 grid steps --------------
+    # (vs 43 at bo=256): tests whether per-block overheads (pipeline
+    # bubbles, revisit latency) are the residual. VMEM at bo=1024:
+    # packed 2 MB (x2 buffers) + bf16 lo/hi 8 MB -- near the cap, so the
+    # a8 form (int8 lo/hi, 4 MB) is the safer one; both tried, LAST.
+    def prod_pad(a8, g=GROUP):
+        Wp = np.zeros((L, K, 11264), np.float32)
+        Wp[..., :O] = W
+        pk, sc = pack_int4(Wp, group=g)
+        pk = jax.device_put(jnp.asarray(pk))
+        sc = jax.device_put(jnp.asarray(sc))
+        return lambda xx, li: int4_matmul(xx, pk, sc, group=g, idx=li, a8=a8)
+
+    if want("pada"):
+        run_case("PADa w4a8 O=11264 bo=1024",
+                 lambda: prod_pad(True), x, yref, yscale)
+    if want("pad"):
+        run_case("PAD weight-only O=11264 bo=1024",
+                 lambda: prod_pad(False), x, yref, yscale)
+
     # ---- D16: int16 shift+mask (Mosaic-crash risk: LAST) --------------------
     if want("d16"):
         run_case("D16 signed-byte shift+mask i16",
