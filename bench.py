@@ -240,7 +240,7 @@ def _device_quantized_params(cfg, bits=8):
             p = q_init(s.packed.shape)(jax.random.fold_in(key, counter[0]))
             return Quantized4Array(
                 p, full_init(s.scale.shape, jnp.float32, 0.02 / 7)(),
-                s.group)
+                s.group, s.out_features, s.a8)
         if isinstance(s, QuantizedArray):
             counter[0] += 1
             q = q_init(s.q.shape)(jax.random.fold_in(key, counter[0]))

@@ -96,8 +96,12 @@ def qdot(x: jax.Array, w) -> jax.Array:
         from libra_tpu.ops.pallas import int4_matmul as i4
         if i4.supports(x, q4.packed, q4.scale, q4.group):
             idx = w.idx if isinstance(w, LayerView) else None
-            return i4.int4_matmul(x, q4.packed, q4.scale, group=q4.group,
-                                  idx=idx)
+            out = i4.int4_matmul(x, q4.packed, q4.scale, group=q4.group,
+                                 idx=idx, a8=q4.a8)
+            if q4.out_features is not None \
+                    and q4.out_features != out.shape[-1]:
+                out = out[..., :q4.out_features]
+            return out
     if kernel_active() and isinstance(w, (QuantizedArray, LayerView)):
         from libra_tpu.ops.pallas.int8_matmul import int8_matmul, supports
         if isinstance(w, LayerView):

@@ -77,29 +77,43 @@ class Quantized4Array:
     ops/pallas/int4_matmul) + per-(group, out-channel) float scales.
     packed (..., K/2, O) int8, scale (..., K/group, O) f32. Duck-types
     `.astype(dt)` like QuantizedArray; consumed by qdot through the
-    fused int4 Pallas kernel on TPU, dequant-einsum elsewhere."""
+    fused int4 Pallas kernel on TPU, dequant-einsum elsewhere.
 
-    def __init__(self, packed, scale, group: int = 128):
+    out_features: TRUE output width when the stored O is zero-padded up
+    to the kernel's preferred block size (r5: bo=1024 grid steps measured
+    448 vs 395 GB/s effective at bo=256 on the gate/up shape; 11008 pads
+    to 11264). Consumers (.astype, qdot) slice the padding back off.
+    a8: execute as W4A8 (per-row dynamic int8 activations, s8 x s8 MXU
+    dots) -- measured faster than the bf16-dot weight-only form at decode
+    M, at the standard ~0.7% activation-quantization error."""
+
+    def __init__(self, packed, scale, group: int = 128,
+                 out_features: Optional[int] = None, a8: bool = False):
         self.packed = packed
         self.scale = scale
         self.group = group
+        self.out_features = out_features
+        self.a8 = a8
 
     def tree_flatten_with_keys(self):
         K = jax.tree_util.GetAttrKey
-        return ((K("packed"), self.packed),
-                (K("scale"), self.scale)), self.group
+        return ((K("packed"), self.packed), (K("scale"), self.scale)), \
+            (self.group, self.out_features, self.a8)
 
     def tree_flatten(self):
-        return (self.packed, self.scale), self.group
+        return (self.packed, self.scale), \
+            (self.group, self.out_features, self.a8)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, group=aux)
+        aux = aux if isinstance(aux, tuple) else (aux,)
+        return cls(*children, *aux)
 
     @property
     def shape(self) -> Tuple[int, ...]:
         s = self.packed.shape
-        return s[:-2] + (2 * s[-2], s[-1])
+        o = self.out_features if self.out_features is not None else s[-1]
+        return s[:-2] + (2 * s[-2], o)
 
     @property
     def ndim(self) -> int:
@@ -111,14 +125,20 @@ class Quantized4Array:
 
     def astype(self, dt):
         from libra_tpu.ops.pallas.int4_matmul import dequant_int4
-        return dequant_int4(self.packed, self.scale, self.group, dt)
+        w = dequant_int4(self.packed, self.scale, self.group, dt)
+        if self.out_features is not None \
+                and self.out_features != w.shape[-1]:
+            w = w[..., :self.out_features]
+        return w
 
     def __getitem__(self, idx):
-        return Quantized4Array(self.packed[idx], self.scale[idx], self.group)
+        return Quantized4Array(self.packed[idx], self.scale[idx], self.group,
+                               self.out_features, self.a8)
 
     def __repr__(self):
         return (f"Quantized4Array(packed={self.packed.shape}, "
-                f"scale={self.scale.shape}, group={self.group})")
+                f"scale={self.scale.shape}, group={self.group}, "
+                f"out_features={self.out_features}, a8={self.a8})")
 
 
 class LayerView:
@@ -208,13 +228,34 @@ def _pad_axis(w, axis: int, pad: int):
     return jnp.pad(w, widths)
 
 
-def quantize_array_int4(w, group: int = 128) -> Quantized4Array:
+def _int4_pad_o(K: int, O: int) -> int:
+    """Zero-padding that lifts O to the int4 kernel's PREFERRED block
+    size (the unconstrained 2 MB tile width for this K), capped at 1/16
+    relative overhead. Measured r5 on (4096, 11008): bo=1024 grid steps
+    run 448 GB/s effective vs 395 at the bo=256 fallback the unpadded
+    11008 forces -- fewer grid steps amortize per-block pipeline
+    overheads."""
+    from libra_tpu.ops.pallas.int4_matmul import _TILE_BYTES
+    bo = max(128, (_TILE_BYTES // (K // 2) // 128) * 128)
+    pad = -O % bo
+    return pad if pad * 16 <= O else 0
+
+
+def quantize_array_int4(w, group: int = 128,
+                        a8: bool = True) -> Quantized4Array:
     """Symmetric group-int4 for x @ W leaves (contracting axis -2):
     scale = group-amax/7 per (group, out-channel). Host numpy stays on
-    the host, like quantize_array."""
+    the host, like quantize_array. O is zero-padded to the kernel's
+    preferred block size (exact: padded columns are sliced back off at
+    every consumption site via out_features)."""
     from libra_tpu.ops.pallas.int4_matmul import pack_int4
+    K, O = w.shape[-2], w.shape[-1]
+    pad = _int4_pad_o(K, O)
+    if pad:
+        w = _pad_axis(w, -1, pad)
     packed, scale = pack_int4(w, group=group)
-    return Quantized4Array(packed, scale, group)
+    return Quantized4Array(packed, scale, group,
+                           out_features=O if pad else None, a8=a8)
 
 
 def _int4_ok(leaf, axis: int, group: int) -> bool:

@@ -475,15 +475,25 @@ def main():
         pk, sc = pack_int4(W, group=g)
         pk = jax.device_put(jnp.asarray(pk))
         sc = jax.device_put(jnp.asarray(sc))
-        return lambda xx, li: int4_matmul(xx, pk, sc, group=g, idx=li, a8=a8)
+        return pk, sc, (
+            lambda xx, li: int4_matmul(xx, pk, sc, group=g, idx=li, a8=a8))
 
     for g in (256, 512, 2048):
+        # reference from THIS group size's own dequant: comparing a G=256
+        # output against the G=128-quantized yref measures quantization-
+        # flavor drift (~0.1 rel), not kernel correctness
+        if want(f"p{g}") or want(f"p{g}a"):
+            pk_g, sc_g, _ = prod_g(g, False)
+            wg = np.asarray(jax.jit(functools.partial(
+                dequant_int4, group=g))(pk_g[0], sc_g[0]), np.float32)
+            yref_g = np.asarray(x, np.float32)[:4] @ wg
+            ysc_g = max(np.abs(yref_g).max(), 1e-6)
         if want(f"p{g}"):
             run_case(f"P{g} prod weight-only G={g}",
-                     lambda g=g: prod_g(g, False), x, yref, yscale)
+                     lambda g=g: prod_g(g, False)[2], x, yref_g, ysc_g)
         if want(f"p{g}a"):
             run_case(f"P{g}a prod w4a8 G={g}",
-                     lambda g=g: prod_g(g, True), x, yref, yscale)
+                     lambda g=g: prod_g(g, True)[2], x, yref_g, ysc_g)
 
     # ---- PAD: O padded to 11264 -> block_o 1024, 11 grid steps --------------
     # (vs 43 at bo=256): tests whether per-block overheads (pipeline
@@ -504,6 +514,22 @@ def main():
     if want("pad"):
         run_case("PAD weight-only O=11264 bo=1024",
                  lambda: prod_pad(False), x, yref, yscale)
+
+    # ---- PADG<G>: w4a8 + bo=1024 + larger groups combined -------------------
+    # measured r5: bo=1024 moved w4a8 395 -> 448 (grid-step overheads);
+    # these test whether halving the dot count on top helps further.
+    for g in (256, 512):
+        if want(f"padg{g}"):
+            Wp = np.zeros((L, K, 11264), np.float32)
+            Wp[..., :O] = W
+            pk_g, sc_g = pack_int4(Wp, group=g)
+            wg = np.asarray(jax.jit(functools.partial(
+                dequant_int4, group=g))(
+                    jnp.asarray(pk_g[0]), jnp.asarray(sc_g[0])), np.float32)
+            yref_g = np.asarray(x, np.float32)[:4] @ wg[:, :O]
+            ysc_g = max(np.abs(yref_g).max(), 1e-6)
+            run_case(f"PADG{g} w4a8 O=11264 bo=1024 G={g}",
+                     lambda g=g: prod_pad(True, g=g), x, yref_g, ysc_g)
 
     # ---- D16: int16 shift+mask (Mosaic-crash risk: LAST) --------------------
     if want("d16"):

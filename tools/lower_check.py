@@ -87,14 +87,19 @@ def _int8_matmul_case(M=4, K=4096, F=11008, L=32):
                 S((L, 1, F), jnp.float32), S((), jnp.int32))
 
 
-def _int4_matmul_case(M=4, K=4096, F=11008):
+def _int4_matmul_case(M=4, K=4096, F=11008, L=None, a8=False):
     from libra_tpu.ops.pallas.int4_matmul import int4_matmul
 
-    def fn(x, p, s):
-        return int4_matmul(x, p, s)
+    if L is None:
+        def fn(x, p, s):
+            return int4_matmul(x, p, s, a8=a8)
+        return fn, (S((M, K), jnp.bfloat16), S((K // 2, F), jnp.int8),
+                    S((K // 128, F), jnp.float32))
 
-    return fn, (S((M, K), jnp.bfloat16), S((K // 2, F), jnp.uint8),
-                S((K // 128, F), jnp.float32))
+    def fn(x, p, s, i):
+        return int4_matmul(x, p, s, idx=i, a8=a8)
+    return fn, (S((M, K), jnp.bfloat16), S((L, K // 2, F), jnp.int8),
+                S((L, K // 128, F), jnp.float32), S((), jnp.int32))
 
 
 def cases():
@@ -135,6 +140,10 @@ def cases():
     add("int8_matmul_packed_m132", _int8_matmul_case, 132)
     add("int8_matmul_packed_m160", _int8_matmul_case, 160)
     add("int4_matvec", _int4_matmul_case)
+    # production int4 serving mode: W4A8 stacked, O padded to bo=1024
+    # (quantization._int4_pad_o lifts 11008 -> 11264)
+    add("int4_matvec_a8_stacked", _int4_matmul_case, 4, 4096, 11264,
+        L=32, a8=True)
     return out
 
 
