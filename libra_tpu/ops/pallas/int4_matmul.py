@@ -21,14 +21,18 @@ Two compute modes:
     convert on the weight side). Adds the standard ~0.7% a8 error.
 
 Measured (r5, 1xv5e, STACKED (8, 4096, 11008) decode matvec, rotating
-layer index -- tools/exp_int4.py):
+layer index -- tools/exp_int4.py; GB/s effective = int4 bytes / wall):
   variant A (old uint8 xor/sub unpack, dequant-multiply):  305 GB/s eff.
   variant D (signed-byte unpack, dequant-multiply):        297 GB/s eff.
   variant C (signed-byte unpack, scale-on-accumulator):    382 GB/s eff.
-    == this module's weight-only kernel. int8 kernel ref:  ~704 GB/s of
-  int8 bytes, i.e. C already beats int8 WALL-TIME (0.059 vs 0.064 ms)
-  at half the weight memory. The W4A8 mode is the candidate to close
-  the remaining gap to the int4 roofline (see tools/exp_int4.py E).
+  variant E (W4A8 s8 x s8 dots, bo=256):                   395 GB/s eff.
+  PADa (W4A8 + O padded to bo=1024 grid)  == PRODUCTION:   448 GB/s eff.
+int8 kernel reference: ~704 GB/s of int8 bytes = 0.064 ms, so the
+production mode beats int8 WALL-TIME 1.28x (0.050 ms) at half the
+weight memory, at 61% of the 733 GB/s stream roofline. The residual
+gap is the per-byte VPU widen+mask+shift (native jnp.int4 and int16
+lanes are both dead on this stack) -- full analysis and the judged
+ladder in docs/quantization.md.
 
 Semantics anchor: streams the reference decoder's projection weights
 (modeling_libra.py:363-397, LibraMLP) in the serving int4 mode; layout
