@@ -53,6 +53,39 @@ def _flash_case(B, Nq, Nk, H=32, d=128, bridge=True, block_q=None):
     return fn, args
 
 
+def _flash_bwd_case(B, Nq, Nk, H=32, d=128, bridge=True):
+    """Backward (custom VJP) of the flash kernel: grad wrt q/k/v[/kb/vb].
+    Covers the fused backward kernel's BlockSpecs, incl. the zero-padded
+    ragged-Nq path (_bwd_impl pads e.g. the 698-token fused-pretrain
+    sequence to 768 with block_q=128). The forward block_q mirrors the
+    production choice (models.libra._choose_block_q: full-dim for ragged
+    Nq); the backward picks its own block internally."""
+    from libra_tpu.models.libra import _choose_block_q
+    from libra_tpu.ops.pallas.flash_bridge import flash_bridged_attention
+
+    bq = _choose_block_q(Nq)
+    assert bq is not None, (Nq, "no flash block -- case is XLA-path")
+
+    def fn(q, k, v, kb, vb, fq, fk, bias):
+        def loss(*diff):
+            o = flash_bridged_attention(
+                diff[0], diff[1], diff[2],
+                diff[3] if bridge else None, diff[4] if bridge else None,
+                fq, fk, bias, block_q=bq)
+            return jnp.sum(o.astype(jnp.float32))
+        diff = (q, k, v, kb, vb) if bridge else (q, k, v)
+        return jax.grad(loss, argnums=tuple(range(len(diff))))(*diff)
+
+    args = (S((B, Nq, H, d), jnp.bfloat16),
+            S((B, Nk, H, d), jnp.bfloat16),
+            S((B, Nk, H, d), jnp.bfloat16),
+            S((B, Nk, H, d), jnp.bfloat16),
+            S((B, Nk, H, d), jnp.bfloat16),
+            S((B, Nq), jnp.bool_), S((B, Nk), jnp.bool_),
+            S((B, 1, Nq, Nk), jnp.float32))
+    return fn, args
+
+
 def _decode_case(B, Sk, N, H=32, d=128, bridge=True, L=None):
     from libra_tpu.ops.pallas.decode_attention import int8_decode_attention
 
@@ -122,6 +155,13 @@ def cases():
     add("flash_nobridge_256", _flash_case, 2, 256, 256, bridge=False)
     # spec-decode verify fallback on an UNquantized cache: tiny full block
     add("flash_specverify_ragged_5", _flash_case, 4, 5, 768, block_q=5)
+
+    # fused flash BACKWARD (training attention): the fused-pretrain shape
+    # (698 = 120 text + 578 image -> ragged: _bwd_impl zero-pads to 768,
+    # block_q=128) and a divisible no-bridge shape (block_q direct)
+    add("flash_bwd_train_698", _flash_bwd_case, 8, 698, 698)
+    add("flash_bwd_nobridge_256", _flash_bwd_case, 2, 256, 256,
+        bridge=False)
 
     # fused int8 decode attention: stacked layer-scan path (the default
     # full-32 decode), Nq=1 and the spec-decode verify block
