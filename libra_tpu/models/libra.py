@@ -24,6 +24,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name as _ckpt_name
 
 from libra_tpu.config import LibraConfig
 from libra_tpu.ops.attention import (AttentionInputs, BIG_NEG, bridged_attention,
@@ -478,12 +479,16 @@ def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
             "lang_only is a cached-decode mode (prompts need the full path)"
 
     def rproj(name):
+        # checkpoint_name tags are identity outside a names-policy remat
+        # (see forward()'s remat arg); they let training save exactly the
+        # big merged projection outputs instead of recomputing them
         if lang_only:
             from libra_tpu.ops.qlinear import qdot
-            return qdot(h, a[name])
+            return _ckpt_name(qdot(h, a[name]), "attn_" + name[0])
         vp = a["vision_" + name[0]]  # vision_q / vision_k / vision_v
-        return routed_linear(h, flag, a[name], vp["wa"], vp["wb"], am,
-                             text_span=text_span)
+        return _ckpt_name(
+            routed_linear(h, flag, a[name], vp["wa"], vp["wb"], am,
+                          text_span=text_span), "attn_" + name[0])
 
     q = _split_heads(rproj("q_proj"), H)
     k = _split_heads(rproj("k_proj"), H)
@@ -594,7 +599,7 @@ def _attention(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
                         dropout=(rng_o, cfg.resid_pdrop,
                                  cfg.vision_resid_pdrop),
                         text_span=text_span)
-    return out, new_cache
+    return _ckpt_name(out, "attn_o"), new_cache
 
 
 def _mlp(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
@@ -607,18 +612,23 @@ def _mlp(p: Params, cfg: LibraConfig, h: jax.Array, flag: jax.Array,
     m = p["mlp"]
 
     def lang_mlp(x):
-        return qdot(jax.nn.silu(qdot(x, m["gate_proj"]))
-                    * qdot(x, m["up_proj"]), m["down_proj"])
+        g = _ckpt_name(qdot(x, m["gate_proj"]), "mlp_gate")
+        u = _ckpt_name(qdot(x, m["up_proj"]), "mlp_up")
+        return _ckpt_name(qdot(jax.nn.silu(g) * u, m["down_proj"]),
+                          "mlp_down")
 
     if lang_only:
         # text-only decode: the vision MLP (the largest vision-weight read,
         # ~125M params/layer) is statically skipped
         return lang_mlp(h)
 
-    gate_v = low_rank_linear(h, m["vision_gate"]["wa"], m["vision_gate"]["wb"])
-    up_v = low_rank_linear(h, m["vision_up"]["wa"], m["vision_up"]["wb"])
-    vis = low_rank_linear(jax.nn.silu(gate_v) * up_v,
-                          m["vision_down"]["wa"], m["vision_down"]["wb"])
+    gate_v = _ckpt_name(low_rank_linear(
+        h, m["vision_gate"]["wa"], m["vision_gate"]["wb"]), "mlp_vgate")
+    up_v = _ckpt_name(low_rank_linear(
+        h, m["vision_up"]["wa"], m["vision_up"]["wb"]), "mlp_vup")
+    vis = _ckpt_name(low_rank_linear(
+        jax.nn.silu(gate_v) * up_v,
+        m["vision_down"]["wa"], m["vision_down"]["wb"]), "mlp_vdown")
     if text_span is not None and dropout_rng is None:
         # modality-split prefill: the full-rank language MLP (the expensive
         # path -- 60% of the layer's dot FLOPs) runs only on the gathered
@@ -699,12 +709,50 @@ class ModelOutput(NamedTuple):
     cache: Optional[KVCache]
 
 
+# every checkpoint_name tag in the decoder layer: the merged q/k/v/o
+# projection outputs and the six MLP dot outputs (language gate/up/down +
+# vision-twin gate/up/down -- the twins are NOT cheap: down_ratio=4
+# bottlenecks at out/4, so e.g. the vision gate is 4096->2752->11008,
+# nearly the language gate's FLOPs). Saving all of these removes ~90% of
+# the per-layer backward recompute at ~0.77 GB/layer (B=8, N=698, bf16).
+BIG_DOT_NAMES = ("attn_q", "attn_k", "attn_v", "attn_o",
+                 "mlp_gate", "mlp_up", "mlp_down",
+                 "mlp_vgate", "mlp_vup", "mlp_vdown")
+
+
+def _remat_policy(remat):
+    """Map forward()'s remat argument to a jax.checkpoint policy.
+
+    True/"full" -> None (save layer inputs only; backward recomputes each
+    layer's forward -- lowest memory, the 11B fsdp8 pretrain fit).
+    "dots" -> dots_with_no_batch_dims_saveable (measured r5: 17.0 GB
+    compiled peak on the L=4/B=8 proxy -- OOMs a 16 GB v5e; kept for
+    bigger-HBM parts). "big_dots" -> save_only_these_names(BIG_DOT_NAMES).
+    "names:a,b,..." -> save_only_these_names of any BIG_DOT_NAMES subset
+    (the memory/recompute dial; see docs/training.md for the ladder)."""
+    if remat == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if remat == "big_dots":
+        return jax.checkpoint_policies.save_only_these_names(*BIG_DOT_NAMES)
+    if isinstance(remat, str) and remat.startswith("names:"):
+        names = tuple(remat[len("names:"):].split(","))
+        unknown = set(names) - set(BIG_DOT_NAMES)
+        if unknown:
+            raise ValueError(f"unknown remat names {sorted(unknown)}; "
+                             f"available: {BIG_DOT_NAMES}")
+        return jax.checkpoint_policies.save_only_these_names(*names)
+    if remat in (True, "full"):
+        return None
+    raise ValueError(f"remat must be falsy, True, 'full', 'dots', "
+                     f"'big_dots' or 'names:...' -- got {remat!r}")
+
+
 def forward(params: Params, cfg: LibraConfig, input_ids: jax.Array,
             attention_mask: jax.Array, vision_indices: jax.Array,
             contiguous_signal: Optional[jax.Array] = None,
             position_ids: Optional[jax.Array] = None,
             cache: Optional[KVCache] = None,
-            remat: bool = False,
+            remat=False,
             attn_impl: str = "xla",
             dropout_rng: Optional[jax.Array] = None,
             text_span=None, lang_only: bool = False) -> ModelOutput:
@@ -717,6 +765,14 @@ def forward(params: Params, cfg: LibraConfig, input_ids: jax.Array,
     dropout_rng: per-step rng enabling train-time dropout at the reference's
       sites (embd/attn/resid and their vision_* twins); None = eval/decode
       (nn.Dropout identity).
+    remat: False = no rematerialisation (eval/decode); True or "full" =
+      per-layer `jax.checkpoint` (backward recomputes each layer's forward
+      from its input -- lowest memory, the 11B fsdp8 fit in BENCH
+      train_compile); "dots" = checkpoint with
+      `dots_with_no_batch_dims_saveable` (matmul outputs saved, only
+      elementwise/attention recomputed -- trades ~0.5 GB/layer of saved
+      activations at B=8xN=698 for skipping the 2PT forward recompute in
+      the backward; measured r5 on the L=4 proxy: see docs/training.md).
     lang_only: STATIC text-only decode mode (cached decode of prompts that
       END in text). Vision projections/MLP/norms/embeds and new-token bridge
       writes are skipped entirely -- EXACT, not approximate: assemble_logits
@@ -808,7 +864,9 @@ def forward(params: Params, cfg: LibraConfig, input_ids: jax.Array,
         return (new_h, dict(bufs, **new_bufs)), None
 
     if remat:
-        body = jax.checkpoint(body)
+        policy = _remat_policy(remat)
+        body = (jax.checkpoint(body, policy=policy) if policy is not None
+                else jax.checkpoint(body))
 
     def scan_xs(xs):
         return (xs, layer_rngs) if layer_rngs is not None else xs

@@ -147,7 +147,11 @@ def main(argv=None):
         freeze_vision_embedding=model_cfg.get("model_kwargs", {}).get(
             "freeze_vision_embedding", False),
     )
-    trainer = Trainer(libra_cfg, params, mesh, opt_cfg)
+    # run.remat: "full" (default; the proven 11B fsdp8 memory fit),
+    # "big_dots" / "names:..." (skip backward recompute of tagged dot
+    # outputs; see models.libra._remat_policy + docs/training.md)
+    trainer = Trainer(libra_cfg, params, mesh, opt_cfg,
+                      remat=run.get("remat", True))
     harness = TrainHarness(
         trainer, wrapper, HarnessConfig.from_run_cfg(run),
         train_ds, eval_ds,

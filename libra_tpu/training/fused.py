@@ -98,7 +98,7 @@ def resolve_attn_impl(attn_impl: str) -> str:
 
 
 def fused_loss_fn(params, vq_params, cfg: LibraConfig, vq_cfg: VQGANConfig,
-                  batch: FusedBatch, remat: bool = True,
+                  batch: FusedBatch, remat=True,
                   dropout_rng=None, attn_impl: str = "auto") -> jax.Array:
     Q = cfg.vision_codebook_num
     B, N = batch.text_ids.shape
@@ -135,10 +135,11 @@ def fused_loss_fn(params, vq_params, cfg: LibraConfig, vq_cfg: VQGANConfig,
 def make_fused_train_step(cfg: LibraConfig, vq_cfg: VQGANConfig,
                           opt: optax.GradientTransformation,
                           dropout_seed: int = 0, grad_mask=None,
-                          attn_impl: str = "auto"):
+                          attn_impl: str = "auto", remat=True):
     """grad_mask: static bool pytree (training.optimizer.trainable_mask)
     -- frozen leaves never get dL/dW matmuls emitted (see
-    trainer.masked_value_and_grad)."""
+    trainer.masked_value_and_grad).
+    remat: True/"full" or "dots" (see models.libra.forward)."""
     from libra_tpu.training.trainer import masked_value_and_grad
 
     def step(state: TrainState, vq_params, batch: FusedBatch):
@@ -147,7 +148,8 @@ def make_fused_train_step(cfg: LibraConfig, vq_cfg: VQGANConfig,
                if M.dropout_enabled(cfg) else None)
         loss, grads = masked_value_and_grad(
             lambda p: fused_loss_fn(p, vq_params, cfg, vq_cfg, batch,
-                                    dropout_rng=rng, attn_impl=attn_impl),
+                                    remat=remat, dropout_rng=rng,
+                                    attn_impl=attn_impl),
             state.params, grad_mask)
         updates, new_opt = opt.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

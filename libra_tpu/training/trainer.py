@@ -43,7 +43,7 @@ def init_state(params: Any, opt: optax.GradientTransformation) -> TrainState:
 
 
 def loss_fn(params: Any, cfg: LibraConfig, batch: Dict[str, Any],
-            remat: bool = True,
+            remat=True,
             dropout_rng: Optional[jax.Array] = None) -> jax.Array:
     """Per-codebook shifted CE averaged over codebooks
     (reference: modeling_libra.py:1159-1174).
@@ -126,14 +126,14 @@ def _finish_step(state: TrainState, loss, grads, trainable_grads, *,
 
 def train_step(state: TrainState, batch: Dict[str, Any], *,
                cfg: LibraConfig, opt: optax.GradientTransformation,
-               dropout_seed: int = 0, grad_mask: Any = None
+               dropout_seed: int = 0, grad_mask: Any = None, remat=True
                ) -> Tuple[TrainState, Dict[str, jax.Array]]:
     # per-step dropout rng (only materialised when any pdrop > 0): the
     # step counter keys the fold so resume reproduces the same masks
     rng = (jax.random.fold_in(jax.random.PRNGKey(dropout_seed), state.step)
            if M.dropout_enabled(cfg) else None)
     loss, grads = masked_value_and_grad(
-        lambda p: loss_fn(p, cfg, batch, dropout_rng=rng),
+        lambda p: loss_fn(p, cfg, batch, remat=remat, dropout_rng=rng),
         state.params, grad_mask)
     if grad_mask is None:
         tg = grads
@@ -151,13 +151,14 @@ def eval_step(state: TrainState, batch: Dict[str, Any], *,
 
 def _group_loss_fn(params: Any, cfg: LibraConfig, batch: Dict[str, Any],
                    denom: jax.Array,
-                   dropout_rng: Optional[jax.Array] = None) -> jax.Array:
+                   dropout_rng: Optional[jax.Array] = None,
+                   remat=True) -> jax.Array:
     """Micro-batch loss normalised by the accumulation GROUP's per-codebook
     valid-label counts `denom` (Q,): summing this over the group's micros
     reproduces the concatenated-batch loss (and gradient) exactly."""
     out = M.forward(params, cfg, batch["input_ids"], batch["attention_mask"],
                     batch["vision_indices"], batch.get("coninous_signal"),
-                    remat=True, dropout_rng=dropout_rng)
+                    remat=remat, dropout_rng=dropout_rng)
     flag = batch["vision_indices"] < cfg.max_vision_token_length
     tl = M.compute_text_logits(params, out.hidden_states)
     if cfg.vision_prediction_mode == "2d":
@@ -172,7 +173,8 @@ def _group_loss_fn(params: Any, cfg: LibraConfig, batch: Dict[str, Any],
 
 def accum_train_step(state: TrainState, batch: Dict[str, Any], *,
                      cfg: LibraConfig, opt: optax.GradientTransformation,
-                     dropout_seed: int = 0, grad_mask: Any = None
+                     dropout_seed: int = 0, grad_mask: Any = None,
+                     remat=True
                      ) -> Tuple[TrainState, Dict[str, jax.Array]]:
     """REAL gradient accumulation (reference shape: 8 micro x 4 accum,
     libra_pretrain.yaml:95-96): batch leaves carry a leading micro axis
@@ -208,7 +210,7 @@ def accum_train_step(state: TrainState, batch: Dict[str, Any], *,
         rng = jax.random.fold_in(key, idx) if enabled else None
         loss, gt = jax.value_and_grad(
             lambda tp_: _group_loss_fn(merge(tp_), cfg, mb, denom,
-                                       dropout_rng=rng))(tp0)
+                                       dropout_rng=rng, remat=remat))(tp0)
         loss_sum, grad_sum = carry
         return (loss_sum + loss,
                 jax.tree_util.tree_map(jnp.add, grad_sum, gt)), None
@@ -310,10 +312,14 @@ class Trainer:
 
     def __init__(self, cfg: LibraConfig, params: Any, mesh: Mesh,
                  opt_cfg: Optional[OptimizerConfig] = None,
-                 offload_opt_state: bool = False):
+                 offload_opt_state: bool = False, remat=True):
         """offload_opt_state: keep Adam moments in pinned host memory
         (the reference's DeepSpeed ZeRO-Offload configs, SURVEY.md
-        section 2.5) -- XLA streams them over PCIe per step."""
+        section 2.5) -- XLA streams them over PCIe per step.
+        remat: rematerialisation policy for the layer scan (True/"full",
+        "dots", "big_dots", "names:..." -- models.libra._remat_policy);
+        "full" is the proven 11B fsdp8 fit, the names policies trade
+        HBM for skipped backward recompute (docs/training.md)."""
         self.cfg = cfg
         self.mesh = mesh
         self.opt_cfg = opt_cfg or OptimizerConfig()
@@ -351,11 +357,11 @@ class Trainer:
             gmask = None
         self._step = jax.jit(
             functools.partial(train_step, cfg=cfg, opt=self.opt,
-                              grad_mask=gmask),
+                              grad_mask=gmask, remat=remat),
             donate_argnums=(0,))
         self._accum_step = jax.jit(
             functools.partial(accum_train_step, cfg=cfg, opt=self.opt,
-                              grad_mask=gmask),
+                              grad_mask=gmask, remat=remat),
             donate_argnums=(0,))
         self._eval = jax.jit(functools.partial(eval_step, cfg=cfg))
 

@@ -278,3 +278,30 @@ def test_sharded_decode_matches_single_device(tiny):
                                   np.asarray(ref.sequences))
     np.testing.assert_array_equal(np.asarray(got.num_generated),
                                   np.asarray(ref.num_generated))
+
+
+def test_remat_policies_match_full(tiny):
+    """names-policy rematerialisation (save tagged dot outputs instead of
+    recomputing them in the backward -- models.libra._remat_policy) must be
+    a pure memory/time tradeoff: gradients equal full remat exactly up to
+    bf16 reassociation noise."""
+    from libra_tpu.training.trainer import loss_fn
+
+    cfg, params = tiny
+    batch = make_batch(cfg)
+
+    def grads(remat):
+        return jax.jit(lambda p: jax.grad(
+            lambda q: loss_fn(q, cfg, batch, remat=remat))(p))(params)
+
+    g_full = grads(True)
+    for policy in ("big_dots", "names:mlp_down,attn_o", "dots"):
+        g = grads(policy)
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(
+                a.astype(jnp.float32) - b.astype(jnp.float32)))), g_full, g)
+        assert max(jax.tree_util.tree_leaves(diffs)) < 1e-3, policy
+    with pytest.raises(ValueError, match="unknown remat names"):
+        grads("names:nonexistent_tag")
+    with pytest.raises(ValueError, match="remat must be"):
+        grads("bogus_policy")

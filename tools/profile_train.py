@@ -7,7 +7,7 @@ tokenize), runs one profiled step, and leaves an xplane trace in
 times -- the per-component split (encode vs decoder fwd vs bwd vs loss)
 VERDICT r4 asked for before attacking train MFU.
 
-Usage:  python -m tools.profile_train [xla|pallas]
+Usage:  python -m tools.profile_train [xla|pallas] [full|dots]
         python -m tools.parse_trace /tmp/jaxtrace_train
 """
 import os
@@ -23,6 +23,7 @@ import bench  # noqa: E402
 
 def main():
     attn_impl = sys.argv[1] if len(sys.argv) > 1 else "auto"
+    remat = sys.argv[2] if len(sys.argv) > 2 else "full"
     import functools
 
     import jax.numpy as jnp
@@ -73,7 +74,7 @@ def main():
     state = jax.jit(functools.partial(init_state, opt=opt))(params)
     step = make_fused_train_step(cfg, vq_cfg, opt,
                                  grad_mask=trainable_mask(params, opt_cfg),
-                                 attn_impl=attn_impl)
+                                 attn_impl=attn_impl, remat=remat)
 
     state, m = step(state, vq_params, batch)
     bench._sync(m["loss"])
@@ -84,7 +85,8 @@ def main():
         state, m = step(state, vq_params, batch)
     bench._sync(m["loss"])
     dt = (time.perf_counter() - t0) / iters
-    print(f"steady: {dt * 1e3:.1f} ms/step ({attn_impl})", flush=True)
+    print(f"steady: {dt * 1e3:.1f} ms/step ({attn_impl}, remat={remat})",
+          flush=True)
 
     with jax.profiler.trace("/tmp/jaxtrace_train"):
         state, m = step(state, vq_params, batch)
