@@ -629,18 +629,29 @@ def bench_train_step(num_layers=4, B=8, text_len=120):
     from libra_tpu.training.optimizer import trainable_mask
     opt_cfg = OptimizerConfig(frozen_language=True, total_steps=1000)
     opt = make_optimizer(opt_cfg, params)
-    state = jax.jit(functools.partial(init_state, opt=opt))(params)
-    step = make_fused_train_step(cfg, vq_cfg, opt,
-                                 grad_mask=trainable_mask(params, opt_cfg))
+    state0 = jax.jit(functools.partial(init_state, opt=opt))(params)
 
-    state, m = step(state, vq_params, batch)      # compile + run
-    _sync(m["loss"])
-    iters = 4
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, vq_params, batch)
-    _sync(m["loss"])
-    dt = (time.perf_counter() - t0) / iters
+    # r5: measure BOTH remat policies -- "full" (the r3/r4 number and the
+    # proven 11B fsdp8 memory fit) and "big_dots" (save the tagged dot
+    # outputs, skip ~90% of the backward recompute; 12.3 GB vs 9.2 GB
+    # compiled peak on this proxy -- fits the single chip). big_dots is
+    # the headline train_mfu; full is reported for round comparability.
+    dts = {}
+    for remat in ("big_dots", "full"):
+        state = state0 if remat == "full" else jax.tree_util.tree_map(
+            jnp.copy, state0)       # full's run donates its state
+        step = make_fused_train_step(
+            cfg, vq_cfg, opt, grad_mask=trainable_mask(params, opt_cfg),
+            remat=remat)
+        state, m = step(state, vq_params, batch)      # compile + run
+        _sync(m["loss"])
+        iters = 4
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, vq_params, batch)
+        _sync(m["loss"])
+        dts[remat] = (time.perf_counter() - t0) / iters
+    dt = dts["big_dots"]
 
     tokens = B * N
     # MFU convention: trainable matmul params cost 6*P*T (fwd + activation
@@ -662,7 +673,14 @@ def bench_train_step(num_layers=4, B=8, text_len=120):
     # rounds are comparable -- the r2->r3 "MFU slide" 0.4616 -> 0.4128 was
     # the CONVENTION change (VERDICT r4 check), not a speed regression
     mfu_legacy = flops_legacy * tokens / dt / 197e12
-    return tokens / dt, mfu, mfu_legacy
+    dt_full = dts["full"]
+    return {
+        "train_step_tok_s": round(tokens / dt, 1),
+        "train_mfu": round(mfu, 4),
+        "train_mfu_legacy6x": round(mfu_legacy, 4),
+        "train_step_fullremat_tok_s": round(tokens / dt_full, 1),
+        "train_mfu_fullremat": round(mfu * dt / dt_full, 4),
+    }
 
 
 # Fixed open-loop load points (VERDICT r4 item 2): the r4 bench set the
@@ -1004,7 +1022,7 @@ def bench_train_compile(num_layers=32, B=8, A=4, text_len=122):
 
     topo = topologies.get_topology_desc("v5e:2x4", "tpu")
 
-    def compile_mesh(data, fsdp, model):
+    def compile_mesh(data, fsdp, model, remat=True):
         mesh = make_mesh(data=data, fsdp=fsdp, model=model,
                          devices=topo.devices)
         ps = jax.eval_shape(
@@ -1028,7 +1046,7 @@ def bench_train_compile(num_layers=32, B=8, A=4, text_len=122):
         }
         bshard = data_shardings(mesh, bt, stacked=True)
         stp = functools.partial(accum_train_step, cfg=cfg, opt=opt,
-                                grad_mask=gmask)
+                                grad_mask=gmask, remat=remat)
         compiled = jax.jit(stp, in_shardings=(st_shard, bshard),
                            donate_argnums=(0,)).lower(st, bt).compile()
         ma = compiled.memory_analysis()
@@ -1042,10 +1060,16 @@ def bench_train_compile(num_layers=32, B=8, A=4, text_len=122):
 
     out = {"train_compile_layers": num_layers, "train_compile_accum": A,
            "train_compile_topology": "v5e:2x4 (deviceless AOT)"}
-    for tag, (d, f, m) in (("fsdp8", (1, 8, 1)), ("fsdp4_tp2", (1, 4, 2))):
+    # fsdp8_bigdots: the r5 remat="big_dots" policy (saved dot outputs are
+    # scoped to one micro inside the accumulation scan, so the 32-layer
+    # cost is bounded -- measured 12.76 GB vs full's 10.13 GB) -- the
+    # durable proof that the 11% faster proxy policy also FITS at 11B
+    for tag, (d, f, m, r) in (("fsdp8", (1, 8, 1, True)),
+                              ("fsdp4_tp2", (1, 4, 2, True)),
+                              ("fsdp8_bigdots", (1, 8, 1, "big_dots"))):
         t0 = time.perf_counter()
         try:
-            peak, detail = compile_mesh(d, f, m)
+            peak, detail = compile_mesh(d, f, m, remat=r)
         except Exception as e:  # noqa: BLE001
             out[f"train_compile_8chip_{tag}_error"] = repr(e)[:160]
             continue
@@ -1189,10 +1213,7 @@ _STAGES = {
         "decode4_full32_tok_s": round(r[0], 2),
         **{"decode4" + k[len("decode"):]: v for k, v in r[2].items()}})(
             bench_decode_full_int8(bits=4)), 2400),
-    "train_step": (lambda: dict(zip(
-        ("train_step_tok_s", "train_mfu", "train_mfu_legacy6x"),
-        (lambda r: (round(r[0], 1), round(r[1], 4), round(r[2], 4)))(
-            bench_train_step()))), 900),
+    "train_step": (lambda: bench_train_step(), 1800),
     "kernels": (lambda: bench_kernels(), 900),
     # deviceless AOT against a v5e-8 topology: local compile-only client,
     # never touches the tunnel (kept last only because it is slow)
@@ -1243,10 +1264,11 @@ _HEADLINE = (
     "serving_spec_tok_s", "serving_spec_accept_rate",
     "serving8_tok_s", "serving8_rps2.0_p50_ttft_ms",
     "chat_turn1_ttft_ms", "chat_turn2_ttft_ms",
-    "train_step_tok_s", "train_mfu",
+    "train_step_tok_s", "train_mfu", "train_mfu_fullremat",
     "matvec_int8_pallas_gb_s", "matvec_int4_gb_s", "matvec_w4a8_gb_s",
     "decode4_full32_tok_s", "decode4_pct_of_sol",
     "train_compile_8chip_fsdp8_peak_hbm_gb",
+    "train_compile_8chip_fsdp8_bigdots_peak_hbm_gb",
 )
 
 
