@@ -629,17 +629,18 @@ def bench_train_step(num_layers=4, B=8, text_len=120):
     from libra_tpu.training.optimizer import trainable_mask
     opt_cfg = OptimizerConfig(frozen_language=True, total_steps=1000)
     opt = make_optimizer(opt_cfg, params)
-    state0 = jax.jit(functools.partial(init_state, opt=opt))(params)
 
     # r5: measure BOTH remat policies -- "full" (the r3/r4 number and the
     # proven 11B fsdp8 memory fit) and "big_dots" (save the tagged dot
     # outputs, skip ~90% of the backward recompute; 12.3 GB vs 9.2 GB
     # compiled peak on this proxy -- fits the single chip). big_dots is
     # the headline train_mfu; full is reported for round comparability.
+    # The state is re-initialised per policy and FREED between them --
+    # two resident optimizer states OOM'd the chip (first r5 run of this
+    # dual-policy stage).
     dts = {}
     for remat in ("big_dots", "full"):
-        state = state0 if remat == "full" else jax.tree_util.tree_map(
-            jnp.copy, state0)       # full's run donates its state
+        state = jax.jit(functools.partial(init_state, opt=opt))(params)
         step = make_fused_train_step(
             cfg, vq_cfg, opt, grad_mask=trainable_mask(params, opt_cfg),
             remat=remat)
@@ -651,6 +652,7 @@ def bench_train_step(num_layers=4, B=8, text_len=120):
             state, m = step(state, vq_params, batch)
         _sync(m["loss"])
         dts[remat] = (time.perf_counter() - t0) / iters
+        del state, m                  # free before the next policy's init
     dt = dts["big_dots"]
 
     tokens = B * N
