@@ -1050,7 +1050,7 @@ class ServingEngine:
         import copy
 
         B = self.B
-        mn = max_new if max_new is not None else 4 * B
+        mn = max_new if max_new is not None else self.decode_chunk
 
         def mk(n, stagger=False):
             reqs = []
@@ -1058,8 +1058,17 @@ class ServingEngine:
                 r = copy.copy(example)
                 r.request_id = -1 - i
                 r.arrival_s = None
-                r.max_new_tokens = mn - (mn // B) * (i % B) if stagger \
-                    else mn
+                # staggered budgets must span MULTIPLE decode dispatches:
+                # the scheduler only observes completions at dispatch
+                # readback (decode_chunk steps), so budgets that all fit
+                # one dispatch free every slot at the SAME boundary -- a
+                # grouped dedicated refill -- and the merged install +
+                # merged chunk programs never compile (measured r5: the
+                # first real open-loop run then eats a 10.8 s install
+                # compile + a 3.6 s merged compile head-of-line, p50 TTFT
+                # 5.9 s at 1.5 rps vs 0.8 s once warm)
+                r.max_new_tokens = self.decode_chunk * (i % B + 1) \
+                    if stagger else mn
                 reqs.append(r)
             return reqs
 
